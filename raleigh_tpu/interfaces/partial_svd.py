@@ -1,0 +1,266 @@
+"""Partial SVD of a dense matrix via the core eigensolver on the (implicitly
+shifted) normal operator.
+
+Capability parity with reference raleigh/interfaces/partial_svd.py: the
+normal operator A^T A or A A^T (whichever is smaller, partial_svd.py:25-27),
+the implicit mean-shift trick that never materializes the centered matrix
+(partial_svd.py:252-287), and the iterated-Cholesky finalization of the left
+factor (partial_svd.py:162-235) — which on TPU is exactly the
+tall-skinny-Cholesky-QR scheme XLA likes: device Gram + host small factor +
+device rotation.
+"""
+
+import time
+
+import numpy as np
+import numpy.linalg as nla
+import scipy.linalg as sla
+
+from ..core.solver import Problem, Solver, Options
+
+
+def _cj(a):
+    return a.conj() if np.iscomplexobj(a) else a
+
+
+class _OperatorSVD:
+    """y = A^H A x (or A A^H x), optionally with the rank-one mean shift
+    applied implicitly on both sides."""
+
+    def __init__(self, matrix, v, transp=False, shift=False):
+        self.op = matrix.as_operator()
+        self.gpu = matrix.gpu()
+        self.transp = transp
+        self.shift = shift
+        self.time = 0.0
+        m, n = self.op.shape()
+        self.w = v.new_vectors(0, n if transp else m)
+        if shift:
+            dt = self.op.data_type()
+            ones = np.ones((1, m), dtype=dt)
+            self.ones = v.new_vectors(1, m)
+            self.ones.fill(ones)
+            self.aves = v.new_vectors(1, n)
+            # column means: a = A^T e / m
+            self.op.apply(self.ones, self.aves, transp=True)
+            self.aves.scale(m * ones[0, :1])
+
+    def apply(self, x, y):
+        m, n = self.op.shape()
+        k = x.nvec()
+        start = time.time()
+        if self.w.nvec() < k:
+            self.w = x.new_vectors(k, n if self.transp else m)
+        z = self.w
+        z.select(k)
+        if self.transp:
+            # y = A (A^H x), both shifted by the mean where requested
+            self.op.apply(x, z, transp=True)
+            if self.shift:
+                s = x.dot(self.ones)
+                z.add(self.aves, -1, s)
+            self.op.apply(z, y)
+            if self.shift:
+                s = z.dot(self.aves)
+                y.add(self.ones, -1, s)
+        else:
+            # y = A^H (A x), rows of A x shifted to zero mean
+            self.op.apply(x, z)
+            if self.shift:
+                for _ in range(2):  # double orthogonalization for accuracy
+                    s = z.dot(self.ones)
+                    z.add(self.ones, -1.0 / m, s)
+            self.op.apply(z, y, transp=True)
+        self.time += time.time() - start
+
+    def mean(self):
+        return self.aves.data() if self.shift else None
+
+    def mean_v(self):
+        return self.aves if self.shift else None
+
+
+class PartialSVD:
+    """Engine computing extreme singular triplets of an AMatrix
+    (reference partial_svd.py:19-235)."""
+
+    def __init__(self, matrix, shift=False):
+        op = matrix.as_operator()
+        m, n = matrix.shape()
+        transp = m < n
+        if transp:
+            m, n = n, m
+        v = op.new_vectors(n)
+        self.__op = op
+        self.__transp = transp
+        self.__shape = (m, n)
+        self.__shift = shift
+        self.__v = v
+        self.__opsvd = _OperatorSVD(matrix, v, transp, shift)
+        self.sigma = None
+        self.__left_v = None
+        self.__right_v = None
+        self.__mean_v = None
+        self.iterations = -1
+
+    def op_svd(self):
+        return self.__opsvd
+
+    def vectors(self):
+        return self.__v
+
+    def compute(self, matrix, opt=None, nsv=(-1, -1), refine=1.0):
+        if opt is None:
+            opt = Options()
+        op = self.__op
+        m, n = self.__shape
+        transp = self.__transp
+        v = self.__v
+        opSVD = self.__opsvd
+        shift = self.__shift
+
+        solver = Solver(Problem(v, opSVD))
+        status = solver.solve(v, options=opt, which=nsv)
+        if status < 0:
+            self.__mean_v = None
+            self.__left_v = None
+            self.__right_v = None
+            return
+        if opt.verbosity > 0:
+            print('operator application time: %.2e' % opSVD.time)
+
+        nv = v.nvec()
+        u = v.new_vectors(nv, m)
+        if nv > 0:
+            eps = 0.0 if nv < 2 else float(refine)
+            op.apply(v, u, transp)
+            if shift:
+                mm, nn = op.shape()
+                dt = op.data_type()
+                ones = np.ones((1, mm), dtype=dt)
+                e = v.new_vectors(1, mm)
+                e.fill(ones)
+                w = v.new_vectors(1, nn)
+                op.apply(e, w, transp=True)
+                w.scale(mm * ones[0, :1])
+                if not transp:
+                    s = v.dot(w)
+                    u.add(e, -1, s)
+                else:
+                    s = v.dot(e)
+                    u.add(w, -1, s)
+            sigma = np.sqrt(np.abs(u.dots(u).real))
+            if eps > 0 or np.amin(sigma) == 0.0:
+                if eps == 1.0:
+                    # orthonormalize u by an SVD of A v
+                    sigma, q = u.svd()
+                    w = v.new_vectors(nv)
+                    v.multiply(q, w)
+                    w.copy(v)
+                else:
+                    u, sigma, v = self._finalize_svd(v, u, eps)
+            else:
+                u.scale(sigma)
+                ind = np.argsort(-sigma)
+                sigma = sigma[ind]
+                w = u.new_vectors(nv)
+                u.copy(w, ind)
+                w.copy(u)
+                w = v.new_vectors(nv)
+                v.copy(w, ind)
+                w.copy(v)
+        else:
+            sigma = np.zeros((0,), dtype=v.data_type())
+        self.sigma = sigma
+        self.__mean_v = opSVD.mean_v()
+        self.iterations = solver.iteration
+        if transp:
+            self.__left_v = v
+            self.__right_v = u
+        else:
+            self.__left_v = u
+            self.__right_v = v
+
+    # -- result accessors (numpy views, columns = singular vectors) -------
+
+    def mean(self):
+        return self.__mean_v.data() if self.__mean_v is not None else None
+
+    def left(self):
+        return self.__left_v.data().T if self.__left_v is not None else None
+
+    def right(self):
+        return self.__right_v.data().T if self.__right_v is not None else None
+
+    def mean_v(self):
+        return self.__mean_v
+
+    def left_v(self):
+        return self.__left_v
+
+    def right_v(self):
+        return self.__right_v
+
+    @staticmethod
+    def _finalize_svd(v, Av, eps):
+        """Given approximate right singular vectors v and their images Av,
+        produce (u, sigma, v) with A v = u sigma: fast iterated-Cholesky
+        orthonormalization of u when the Gram of Av is well conditioned, a
+        full SVD of Av otherwise (reference partial_svd.py:162-235)."""
+        nsv = v.nvec()
+        Gram = Av.dot(Av)
+
+        diag = np.diag(Gram).real
+        if np.amin(diag) <= 0.0:
+            icond = 0.0
+        else:
+            lmd = sla.eigh(Gram, np.diag(diag), eigvals_only=True)
+            icond = lmd[0] / lmd[-1]
+        delta = 100 * np.finfo(diag.dtype).eps
+        if icond < delta:
+            # Av too ill-conditioned: full SVD of Av
+            sigma, q = Av.svd()
+            u = Av
+            w = v.new_vectors(nsv)
+            v.multiply(q, w)
+            w.copy(v)
+            return u, sigma, v
+
+        w = Av.new_vectors(nsv)
+        U = _cj(nla.cholesky(Gram).T)            # Gram = U^H U
+        p, sigma, qh = sla.svd(U)                # A v = w p sigma qh
+        q = _cj(qh.T)
+        Ui = sla.inv(U)
+        Av.multiply(np.dot(Ui, p), w)
+        u = Av
+        w.copy(u)
+
+        # cheap orthonormality probe on a trailing sub-block
+        probe = u.reference()
+        nv = int(min(32, nsv / 2))
+        probe.select(nv, nsv - nv)
+        G = probe.dot(probe)
+        no_max = np.amax(np.abs(G - np.eye(nv, dtype=G.dtype)))
+        if no_max < eps:
+            w = v.new_vectors(nsv)
+            v.multiply(q, w)
+            w.copy(v)
+            return u, sigma, v
+
+        Gram = u.dot(u)
+        no_max = np.amax(np.abs(Gram - np.eye(nsv, dtype=Gram.dtype)))
+        it = 0
+        while no_max > eps and it < 2:
+            U = _cj(nla.cholesky(Gram).T)
+            Ui = sla.inv(U)
+            u.multiply(Ui, w)
+            p, sigma, qh = sla.svd(U * sigma)
+            q = np.dot(q, _cj(qh.T))
+            w.multiply(p, u)
+            Gram = u.dot(u)
+            no_max = np.amax(np.abs(Gram - np.eye(nsv)))
+            it += 1
+        w = v.new_vectors(nsv)
+        v.multiply(q, w)
+        w.copy(v)
+        return u, sigma, v
