@@ -1,0 +1,83 @@
+"""Headline benchmark: TPU PCA throughput on an LFW-shaped problem.
+
+Reference baseline (BASELINE.md): RALEIGH computes 800 principal components
+of the 12,000 x 39,375 LFW eigenimages matrix in 23 s on CPU and 10 s on an
+(unnamed) GPU; scikit-learn takes 59 s.  The LFW data itself cannot be
+downloaded here (no egress), so the benchmark uses a synthetic matrix of the
+same shape whose singular spectrum follows the k**(-0.75) decay the
+reference's generator uses to imitate LFW (reference
+examples/pca/generate_matrix.py:33-36), generated on-device.
+
+Prints one JSON line:
+  {"metric": "pca_800_comps_time", "value": <seconds>, "unit": "s",
+   "vs_baseline": <ref_gpu_time / ours>}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# persistent XLA compilation cache: the solver's windowed kernels come in a
+# few dozen shape variants; cache them across bench runs
+os.makedirs('/tmp/raleigh_tpu_xla_cache', exist_ok=True)
+import jax  # noqa: E402
+
+jax.config.update('jax_compilation_cache_dir', '/tmp/raleigh_tpu_xla_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.1)
+
+
+M, N, NPC = 12000, 39375, 800
+GEN_RANK = 2048
+BASELINE_GPU_SECONDS = 10.0
+
+
+def make_data():
+    """Synthesize the benchmark matrix on device: low-rank factors with
+    k**-0.75 singular decay plus a small dense tail, PCA-invariant leading
+    direction (constant vector), float32."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(1)
+    ku, kv, kn = jax.random.split(key, 3)
+    u = jax.random.normal(ku, (M, GEN_RANK), dtype=jnp.float32)
+    u = u.at[:, 0].set(1.0)
+    v = jax.random.normal(kv, (GEN_RANK, N), dtype=jnp.float32)
+    k = jnp.arange(1, GEN_RANK + 1, dtype=jnp.float32)
+    s = k ** -0.75
+    a = (u * (s / jnp.sqrt(M * 1.0))) @ (v / jnp.sqrt(N * 1.0))
+    a = a + 1e-4 * jax.random.normal(kn, (M, N), dtype=jnp.float32)
+    return jax.block_until_ready(a)
+
+
+def main():
+    from raleigh_tpu.interfaces.pca import pca
+    from raleigh_tpu.core.solver import Options
+
+    a = make_data()
+    t0 = time.time()
+    opt = Options()
+    mean, trans, comps = pca(a, npc=NPC, arch='tpu', opt=opt)
+    elapsed = time.time() - t0
+
+    # sanity: shapes and orthonormality of the components
+    assert comps.shape[0] == NPC, comps.shape
+    g = comps[:64] @ comps[:64].T
+    ortho_err = float(np.abs(g - np.eye(64)).max())
+    result = {
+        'metric': 'pca_800_comps_time',
+        'value': round(elapsed, 3),
+        'unit': 's',
+        'vs_baseline': round(BASELINE_GPU_SECONDS / elapsed, 3),
+    }
+    print(json.dumps(result))
+    if ortho_err > 1e-2:
+        print('WARNING: component orthonormality error %.2e' % ortho_err,
+              file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()

@@ -10,23 +10,29 @@ Design:
   * A block of ``m`` vectors of dimension ``n`` is a ``(capacity, n)``
     ``jax.Array`` plus a host-side selection window ``(first, nvec)`` — the
     same "selection window" contract the reference documents at
-    raleigh/core/solver.py:32-37, but with *functional* updates: every
-    mutating contract op rebuilds the storage array via
-    ``lax.dynamic_update_slice`` inside a jitted kernel with the window size
-    as a static argument, so XLA sees static shapes and can tile GEMMs onto
-    the MXU.  Buffer donation keeps the updates in place on device.
+    raleigh/core/solver.py:32-37, with *functional* updates via
+    ``lax.dynamic_update_slice`` inside jitted kernels.
+
+  * Shape bucketing: the solver's adaptive block logic produces dozens of
+    distinct window sizes; compiling one XLA program per size would melt
+    wall-clock into compilations.  Kernels therefore take a *static padded*
+    window size (the next bucket: multiple of 8/32/128) plus the *traced*
+    logical count, mask the padded garbage rows out of reductions, and
+    blend writes so only the logical rows change.  Coefficient matrices
+    are zero-padded host-side, so padded rows contribute exactly zero to
+    every GEMM.  Result: O(10) compiled variants per kernel, amortized by
+    the persistent compilation cache.
 
   * All O(m*n) work (Gram matrices, linear combinations, operator
-    applications) is device GEMMs; the small O(m^2) results are returned to
-    the host as NumPy arrays, exactly where the reference brings Gram
-    matrices back for SciPy factorizations (dense_cublas.py:265-269).
+    applications) is device GEMMs on the MXU; the small O(m^2) results
+    come back to the host as NumPy arrays, exactly where the reference
+    brings Gram matrices back for SciPy factorizations
+    (dense_cublas.py:265-269).  Buffer donation keeps updates in place.
 
-  * When the storage carries a ``NamedSharding`` over the vector dimension,
-    the same jitted kernels run SPMD: XLA's partitioner turns the contraction
-    over ``n`` in ``dot``/``dots`` into local GEMM + psum over the mesh (ICI
-    collectives), and linear combinations stay embarrassingly parallel.
-    This is the TPU equivalent of the "MPI Vectors implementation" the
-    reference leaves as future work (core/solver.py:98-102).
+  * With storage carrying a ``NamedSharding`` over the vector dimension the
+    same kernels run SPMD: XLA partitions the contraction over ``n`` into
+    local GEMM + psum over ICI, the TPU equivalent of the "MPI Vectors"
+    the reference leaves as future work (core/solver.py:98-102).
 
 Randomness: ``fill_random`` draws on the host with NumPy's global generator
 (uniform in [-1, 1)) and uploads — bit-identical to the host backend, which
@@ -47,7 +53,7 @@ from jax import lax
 # On the TPU MXU a "default"-precision f32 matmul truncates operands to
 # bfloat16; an eigensolver's Gram matrices and residuals need true f32, so we
 # default the whole process to the 3-pass bf16 scheme (~f32 quality).  Opt
-# out with RALEIGH_TPU_MATMUL_PRECISION=default for bandwidth-bound PCA-style
+# out with RALEIGH_TPU_MATMUL_PRECISION=default for bandwidth-bound
 # workloads that tolerate it.
 jax.config.update('jax_default_matmul_precision',
                   os.environ.get('RALEIGH_TPU_MATMUL_PRECISION', 'highest'))
@@ -57,119 +63,185 @@ def _cj(a):
     return a.conj() if jnp.iscomplexobj(a) else a
 
 
-def _win(arr, first, k):
-    """Select the k-row window starting at (traced) row ``first``."""
-    return lax.dynamic_slice_in_dim(arr, first, k, axis=0)
+def bucket(k):
+    """Static padded size for a logical window of k rows."""
+    k = max(int(k), 1)
+    if k <= 8:
+        return 8
+    if k <= 128:
+        return (k + 7) // 8 * 8
+    if k <= 512:
+        return (k + 31) // 32 * 32
+    return (k + 127) // 128 * 128
+
+
+def capacity_for(m):
+    """Storage capacity so any window (f, k) with f + k <= m can be read at
+    its bucketed size without overrunning."""
+    m = max(int(m), 1)
+    slack = 8 if m <= 128 else (32 if m <= 512 else 128)
+    return bucket(m) + slack
+
+
+def _win(arr, first, B):
+    """The B-row (bucketed) window starting at traced row ``first``."""
+    return lax.dynamic_slice_in_dim(arr, first, B, axis=0)
+
+
+def _rowmask(B, k, dtype=None):
+    """(B, 1) mask: 1 for rows < k (traced), 0 for padded rows."""
+    rows = lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    m = (rows < k)
+    return m if dtype is None else m.astype(dtype)
+
+
+def _blend_write(arr, first, B, k, new_rows):
+    """Write new_rows (B rows) at ``first``, keeping rows >= k unchanged."""
+    old = _win(arr, first, B)
+    mask = _rowmask(B, k)
+    return lax.dynamic_update_slice_in_dim(
+        arr, jnp.where(mask, new_rows.astype(arr.dtype), old), first, 0)
 
 
 # ---------------------------------------------------------------------------
-# jitted kernels (static window sizes; traced window offsets)
+# jitted kernels: static bucketed sizes (Ba, Bb, ...), traced counts (ka, kb)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=('ka', 'kb'))
-def _k_gram(a, fa, ka, b, fb, kb):
-    # rows of result indexed by b's vectors, cols by a's (contract: dot)
-    wa = _win(a, fa, ka)
-    wb = _win(b, fb, kb)
+@partial(jax.jit, static_argnames=('Ba', 'Bb'))
+def _k_gram(a, fa, ka, Ba, b, fb, kb, Bb):
+    # contract `dot`: rows indexed by b's vectors, cols by a's
+    wa = _win(a, fa, Ba) * _rowmask(Ba, ka, a.dtype)
+    wb = _win(b, fb, Bb) * _rowmask(Bb, kb, b.dtype)
     return jnp.matmul(_cj(wb), wa.T, preferred_element_type=wa.dtype)
 
 
-@partial(jax.jit, static_argnames=('k',))
-def _k_dots(a, fa, b, fb, k):
-    wa = _win(a, fa, k)
-    wb = _win(b, fb, k)
+@partial(jax.jit, static_argnames=('B',))
+def _k_dots(a, fa, b, fb, k, B):
+    wa = _win(a, fa, B)
+    wb = _win(b, fb, B) * _rowmask(B, k, b.dtype)
     return jnp.einsum('ij,ij->i', _cj(wb), wa)
 
 
-@partial(jax.jit, static_argnames=('k',))
-def _k_dots_t(a, fa, b, fb, k):
-    wa = _win(a, fa, k)
-    wb = _win(b, fb, k)
+@partial(jax.jit, static_argnames=('B',))
+def _k_dots_t(a, fa, b, fb, k, B):
+    wa = _win(a, fa, B)
+    wb = _win(b, fb, B) * _rowmask(B, k, b.dtype)
     return jnp.einsum('ij,ij->j', _cj(wb), wa)
 
 
-@partial(jax.jit, static_argnames=('ka', 'ko'), donate_argnames=('out',))
-def _k_multiply(a, fa, ka, q, out, fo, ko):
-    w = jnp.matmul(q.T, _win(a, fa, ka), preferred_element_type=a.dtype)
-    return lax.dynamic_update_slice_in_dim(out, w.astype(out.dtype), fo, 0)
+@partial(jax.jit, static_argnames=('Ba', 'Bo'), donate_argnames=('out',))
+def _k_multiply(a, fa, Ba, q, out, fo, ko, Bo):
+    # q is zero-padded to (Ba, Bo): padded rows of `a` weighted by zero
+    w = jnp.matmul(q.T, _win(a, fa, Ba), preferred_element_type=a.dtype)
+    return _blend_write(out, fo, Bo, ko, w)
 
 
-@partial(jax.jit, static_argnames=('ks', 'ko'), donate_argnames=('s',))
-def _k_add_scalar(s, fs, ks, o, fo, ko, alpha):
-    w = _win(s, fs, ks) + alpha * _win(o, fo, ks)
-    return lax.dynamic_update_slice_in_dim(s, w, fs, 0)
+@partial(jax.jit, static_argnames=('Ba', 'Bo'))
+def _k_multiply_inplace(a, fa, Ba, q, fo, ko, Bo):
+    # aliased variant (output is the input block): no donation
+    w = jnp.matmul(q.T, _win(a, fa, Ba), preferred_element_type=a.dtype)
+    return _blend_write(a, fo, Bo, ko, w)
 
 
-@partial(jax.jit, static_argnames=('ks', 'ko'), donate_argnames=('s',))
-def _k_add_combi(s, fs, ks, o, fo, ko, alpha, q):
-    w = _win(s, fs, ks) + alpha * jnp.matmul(
-        q.T, _win(o, fo, ko), preferred_element_type=s.dtype).astype(s.dtype)
-    return lax.dynamic_update_slice_in_dim(s, w, fs, 0)
+@partial(jax.jit, static_argnames=('B',), donate_argnames=('s',))
+def _k_add_scalar(s, fs, k, o, fo, B, alpha):
+    w = _win(s, fs, B) + alpha * _win(o, fo, B)
+    return _blend_write(s, fs, B, k, w)
 
 
-@partial(jax.jit, static_argnames=('k',), donate_argnames=('s',))
-def _k_add_rows(s, fs, o, fo, k, coef):
-    w = _win(s, fs, k) + coef[:, None] * _win(o, fo, k)
-    return lax.dynamic_update_slice_in_dim(s, w, fs, 0)
+@partial(jax.jit, static_argnames=('Bs', 'Bo'), donate_argnames=('s',))
+def _k_add_combi(s, fs, ks, Bs, o, fo, Bo, alpha, q):
+    # q zero-padded to (Bo, Bs)
+    w = _win(s, fs, Bs) + alpha * jnp.matmul(
+        q.T, _win(o, fo, Bo), preferred_element_type=s.dtype).astype(s.dtype)
+    return _blend_write(s, fs, Bs, ks, w)
 
 
-@partial(jax.jit, static_argnames=('k',), donate_argnames=('dst',))
-def _k_copy(src, fsrc, dst, fdst, k):
-    w = _win(src, fsrc, k).astype(dst.dtype)
-    return lax.dynamic_update_slice_in_dim(dst, w, fdst, 0)
+@partial(jax.jit, static_argnames=('B',), donate_argnames=('s',))
+def _k_add_rows(s, fs, o, fo, k, B, coef):
+    w = _win(s, fs, B) + coef[:, None].astype(s.dtype) * _win(o, fo, B)
+    return _blend_write(s, fs, B, k, w)
 
 
-@partial(jax.jit, donate_argnames=('dst',))
-def _k_copy_indexed(src, ind, dst, fdst):
+@partial(jax.jit, static_argnames=('B',), donate_argnames=('dst',))
+def _k_copy(src, fsrc, dst, fdst, k, B):
+    return _blend_write(dst, fdst, B, k, _win(src, fsrc, B))
+
+
+@partial(jax.jit, static_argnames=('B',), donate_argnames=('dst',))
+def _k_copy_indexed(src, ind, dst, fdst, k, B):
+    # ind zero-padded to length B; rows >= k are discarded by the blend
     w = jnp.take(src, ind, axis=0).astype(dst.dtype)
-    return lax.dynamic_update_slice_in_dim(dst, w, fdst, 0)
+    return _blend_write(dst, fdst, B, k, w)
 
 
-@partial(jax.jit, static_argnames=('k', 'multiply'), donate_argnames=('s',))
-def _k_scale(s, fs, k, coef, multiply):
-    w = _win(s, fs, k)
+@partial(jax.jit, static_argnames=('B', 'multiply'), donate_argnames=('s',))
+def _k_scale(s, fs, k, B, coef, multiply):
+    w = _win(s, fs, B)
     c = coef[:, None].astype(s.dtype)
     if multiply:
         w = w * c
     else:
         w = w / jnp.where(c == 0, jnp.ones_like(c), c)
-    return lax.dynamic_update_slice_in_dim(s, w, fs, 0)
+    return _blend_write(s, fs, B, k, w)
 
 
-@partial(jax.jit, static_argnames=('k',), donate_argnames=('s',))
-def _k_fill_value(s, fs, k, value):
-    w = jnp.full((k, s.shape[1]), value, dtype=s.dtype)
-    return lax.dynamic_update_slice_in_dim(s, w, fs, 0)
+@partial(jax.jit, static_argnames=('B',), donate_argnames=('s',))
+def _k_fill_value(s, fs, k, B, value):
+    w = jnp.full((B, s.shape[1]), value, dtype=s.dtype)
+    return _blend_write(s, fs, B, k, w)
 
 
-@partial(jax.jit, static_argnames=('k',), donate_argnames=('s',))
-def _k_set_rows(s, fs, k, rows):
-    return lax.dynamic_update_slice_in_dim(s, rows.astype(s.dtype), fs, 0)
+@partial(jax.jit, static_argnames=('B',), donate_argnames=('s',))
+def _k_set_rows(s, fs, k, B, rows):
+    # rows padded to B
+    return _blend_write(s, fs, B, k, rows)
 
 
-@partial(jax.jit, static_argnames=('ks', 'ko'), donate_argnames=('s',))
-def _k_ortho(s, fs, ks, o, fo, ko):
-    """s := s - q^T o with q = conj(o) s^T;  returns (new s, q)."""
-    ws = _win(s, fs, ks)
-    wo = _win(o, fo, ko)
+@partial(jax.jit, static_argnames=('Bs', 'Bo'), donate_argnames=('s',))
+def _k_ortho(s, fs, ks, Bs, o, fo, ko, Bo):
+    """s := s - q^T o with q = conj(o) s^T; returns (new s, q)."""
+    ws = _win(s, fs, Bs) * _rowmask(Bs, ks, s.dtype)
+    wo = _win(o, fo, Bo) * _rowmask(Bo, ko, o.dtype)
     q = jnp.matmul(_cj(wo), ws.T, preferred_element_type=ws.dtype)
     w = ws - jnp.matmul(q.T, wo, preferred_element_type=ws.dtype)
-    return lax.dynamic_update_slice_in_dim(s, w, fs, 0), q
+    return _blend_write(s, fs, Bs, ks, w), q
 
 
-@partial(jax.jit, static_argnames=('kx', 'ky', 'transp', 'conj_a'),
+@partial(jax.jit, static_argnames=('Bx', 'transp', 'conj_a'),
          donate_argnames=('y',))
-def _k_apply_dense(a, x, fx, kx, y, fy, ky, transp, conj_a):
-    wx = _win(x, fx, kx)
+def _k_apply_dense(a, x, fx, Bx, y, fy, ky, transp, conj_a):
+    wx = _win(x, fx, Bx)
     if transp:
         am = _cj(a) if conj_a else a
         w = jnp.matmul(wx, am, preferred_element_type=wx.dtype)
     else:
         w = jnp.matmul(wx, a.T, preferred_element_type=wx.dtype)
-    return lax.dynamic_update_slice_in_dim(y, w.astype(y.dtype), fy, 0)
+    return _blend_write(y, fy, Bx, ky, w)
+
+
+@partial(jax.jit, static_argnames=('B',))
+def _k_read(arr, f, k, B):
+    return _win(arr, f, B) * _rowmask(B, k, arr.dtype)
 
 
 # ---------------------------------------------------------------------------
+
+
+def _padq(q, Bi, Bo, dtype):
+    """Zero-pad a host coefficient matrix to (Bi, Bo) in the storage
+    dtype (real coefficients are cast onto complex storage)."""
+    q = np.asarray(q)
+    out = np.zeros((Bi, Bo), dtype=dtype)
+    out[:q.shape[0], :q.shape[1]] = q
+    return jnp.asarray(out)
+
+
+def _padv(v, B, dtype):
+    v = np.asarray(v).reshape(-1)
+    out = np.zeros((B,), dtype=dtype)
+    out[:v.shape[0]] = v[:B] if v.shape[0] > B else v
+    return jnp.asarray(out)
 
 
 class Vectors:
@@ -180,29 +252,40 @@ class Vectors:
         self._sharding = sharding
         if isinstance(arg, Vectors):
             f, k = arg.selected()
-            block = _win(arg._array, f, k) if (f, k) != (0, arg._array.shape[0]) \
-                else arg._array
-            # jax arrays are immutable: "shallow" and deep copies coincide
-            self._array = block
             self._sharding = arg._sharding
+            self._array = _grow(_k_read(arg._array, f, k, bucket(k))
+                                [:bucket(k)], capacity_for(k),
+                                self._sharding)
+            self._nvec = k
         elif isinstance(arg, Matrix):
-            self._array = arg._data
             self._sharding = arg._sharding
+            self._array = _grow(arg._data, capacity_for(arg._data.shape[0]),
+                                self._sharding)
+            self._nvec = arg._data.shape[0]
         elif isinstance(arg, (np.ndarray, jax.Array)):
-            self._array = self._put(np.ascontiguousarray(arg)
-                                    if isinstance(arg, np.ndarray) else arg)
+            a = jnp.asarray(np.ascontiguousarray(arg)) \
+                if isinstance(arg, np.ndarray) else arg
+            self._array = _grow(a, capacity_for(a.shape[0]), self._sharding)
+            self._nvec = a.shape[0]
         elif isinstance(arg, numbers.Number):
             dt = data_type if data_type is not None else jnp.float32
-            self._array = self._put(jnp.zeros((nvec, int(arg)), dtype=dt))
+            n = int(arg)
+            self._array = self._put(
+                jnp.zeros((capacity_for(max(nvec, 1)), n), dtype=dt))
+            self._nvec = nvec
         else:
             raise ValueError('cannot build Vectors from %r' % type(arg))
-        m = self._array.shape[0]
-        self._sel = (0, m)
+        self._sel = (0, self._nvec)
 
     def _put(self, a):
         if self._sharding is not None:
             return jax.device_put(a, self._sharding)
         return jnp.asarray(a)
+
+    def _ensure_capacity(self, need):
+        if self._array.shape[0] < need:
+            self._array = _grow(self._array, capacity_for(need),
+                                self._sharding)
 
     # ---- storage / selection -------------------------------------------
 
@@ -213,11 +296,15 @@ class Vectors:
         return self._sel[1]
 
     def select(self, nv, first=0):
-        assert first >= 0 and first + nv <= self._array.shape[0]
+        assert first >= 0
+        self._nvec = max(self._nvec, first + nv)
+        # capacity invariant: any window must be readable at its bucketed
+        # size without dynamic_slice clamping
+        self._ensure_capacity(first + bucket(nv))
         self._sel = (first, nv)
 
     def select_all(self):
-        self._sel = (0, self._array.shape[0])
+        self._sel = (0, self._nvec)
 
     def selected(self):
         return self._sel
@@ -229,27 +316,27 @@ class Vectors:
         return jnp.iscomplexobj(self._array)
 
     def all_data(self):
-        return np.asarray(self._array)
+        return np.asarray(self._array[:self._nvec])
 
     def data(self, i=None):
         f, k = self._sel
-        host = np.asarray(_win(self._array, f, k))
+        if k == 0:
+            host = np.zeros((0, self.dimension()), self.data_type())
+        else:
+            host = np.asarray(self._array)[f:f + k]
         return host if i is None else host[i]
 
     def device_data(self):
         f, k = self._sel
-        return _win(self._array, f, k)
+        return self._array[f:f + k]
 
     def new_vectors(self, arg=0, dim=None):
         if isinstance(arg, (np.ndarray, jax.Array)):
-            v = Vectors.__new__(Vectors)
-            v._sharding = self._sharding
             a = jnp.asarray(arg)
             if a.dtype != self._array.dtype and (
                     jnp.iscomplexobj(self._array) == jnp.iscomplexobj(a)):
                 a = a.astype(self._array.dtype)
-            v._array = v._put(a)
-            v._sel = (0, v._array.shape[0])
+            v = Vectors(a, sharding=self._sharding)
             return v
         if dim is None:
             dim = self.dimension()
@@ -263,154 +350,184 @@ class Vectors:
 
     def append(self, other, axis=0):
         if axis == 0:
-            f, k = self._sel
-            self._array = jnp.concatenate(
-                (_win(self._array, f, k), other.device_data()))
+            mine = self._array[:self._nvec] if self._sel == (0, self._nvec) \
+                else self.device_data()
+            kept = mine.shape[0]
+            self._array = _grow(jnp.concatenate(
+                (mine, other.device_data())),
+                capacity_for(kept + other.nvec()), self._sharding)
+            self._nvec = kept + other.nvec()
         else:
-            self._array = jnp.concatenate(
-                (self._array, other._array), axis=1)
-        if self._sharding is not None:
-            self._array = jax.device_put(self._array, self._sharding)
-        self.select_all()
+            cap = self._array.shape[0]
+            ob = other._array
+            ob = ob[:cap] if ob.shape[0] >= cap else _grow(ob, cap, None)
+            self._array = self._put(jnp.concatenate((self._array, ob),
+                                                    axis=1))
+        self._sel = (0, self._nvec)
 
     # ---- fills ----------------------------------------------------------
 
     def zero(self):
         f, k = self._sel
-        self._array = _k_fill_value(self._array, f, k,
+        self._array = _k_fill_value(self._array, f, k, bucket(k),
                                     np.zeros((), self.data_type()))
 
     def fill(self, value):
         f, k = self._sel
+        B = bucket(k)
         if isinstance(value, numbers.Number):
-            self._array = _k_fill_value(self._array, f, k,
+            self._array = _k_fill_value(self._array, f, k, B,
                                         np.asarray(value, self.data_type()))
         else:
-            rows = jnp.broadcast_to(jnp.asarray(value),
-                                    (k, self.dimension()))
-            self._array = _k_set_rows(self._array, f, k, rows)
+            v = jnp.asarray(value)
+            rows = jnp.broadcast_to(v, (k, self.dimension())) \
+                if v.ndim < 2 or v.shape[0] != k else v
+            rows = jnp.concatenate(
+                (rows.astype(self._array.dtype),
+                 jnp.zeros((B - k, self.dimension()), self._array.dtype)))
+            self._array = _k_set_rows(self._array, f, k, B, rows)
 
     def fill_random(self):
         f, k = self._sel
-        rows = (2 * np.random.rand(k, self.dimension()) - 1).astype(
-            self.data_type())
-        self._array = _k_set_rows(self._array, f, k, jnp.asarray(rows))
+        B = bucket(k)
+        rows = np.zeros((B, self.dimension()), dtype=self.data_type())
+        rows[:k] = 2 * np.random.rand(k, self.dimension()) - 1
+        self._array = _k_set_rows(self._array, f, k, B, jnp.asarray(rows))
 
     def fill_orthogonal(self):
         from .dense_numpy import _hadamard_like_fill
         f, k = self._sel
-        a = np.zeros((k, self.dimension()), dtype=self.data_type())
-        _hadamard_like_fill(a)
-        self._array = _k_set_rows(self._array, f, k, jnp.asarray(a))
+        B = bucket(k)
+        a = np.zeros((B, self.dimension()), dtype=self.data_type())
+        _hadamard_like_fill(a[:k])
+        self._array = _k_set_rows(self._array, f, k, B, jnp.asarray(a))
 
     # ---- contract ops ---------------------------------------------------
 
     def copy(self, other, ind=None):
         if ind is None:
             assert self.nvec() == other.nvec()
+            k = self.nvec()
+            other._ensure_capacity(other._sel[0] + bucket(k))
             other._array = _k_copy(self._array, self._sel[0],
-                                   other._array, other._sel[0], self.nvec())
+                                   other._array, other._sel[0], k, bucket(k))
         else:
-            ind = jnp.asarray(np.asarray(ind, dtype=np.int32))
-            other._array = _k_copy_indexed(self._array, ind,
-                                           other._array, other._sel[0])
+            ind = np.asarray(ind, dtype=np.int32).reshape(-1)
+            k = len(ind)
+            B = bucket(k)
+            pad = np.zeros((B,), dtype=np.int32)
+            pad[:k] = ind
+            other._ensure_capacity(other._sel[0] + B)
+            other._array = _k_copy_indexed(self._array, jnp.asarray(pad),
+                                           other._array, other._sel[0], k, B)
 
     def scale(self, s, multiply=False):
         f, k = self._sel
-        coef = jnp.asarray(np.asarray(s).reshape(-1)[:k])
-        self._array = _k_scale(self._array, f, k, coef, multiply)
+        B = bucket(k)
+        sv = np.asarray(s).reshape(-1)[:k]
+        dt = self._array.dtype if np.iscomplexobj(sv) \
+            else _real_dtype(self.data_type())
+        coef = _padv(sv, B, dt)
+        self._array = _k_scale(self._array, f, k, B, coef, multiply)
 
     def dots(self, other, transp=False):
+        k = self.nvec()
+        B = bucket(k)
         if transp:
             r = _k_dots_t(self._array, self._sel[0],
-                          other._array, other._sel[0], self.nvec())
-        else:
-            r = _k_dots(self._array, self._sel[0],
-                        other._array, other._sel[0], self.nvec())
-        return np.asarray(r)
+                          other._array, other._sel[0], k, B)
+            return np.asarray(r)
+        r = _k_dots(self._array, self._sel[0],
+                    other._array, other._sel[0], k, B)
+        return np.asarray(r)[:k]
 
     def dot(self, other):
-        r = _k_gram(self._array, self._sel[0], self.nvec(),
-                    other._array, other._sel[0], other.nvec())
-        return np.asarray(r)
+        ka, kb = self.nvec(), other.nvec()
+        r = _k_gram(self._array, self._sel[0], ka, bucket(ka),
+                    other._array, other._sel[0], kb, bucket(kb))
+        return np.asarray(r)[:kb, :ka]
 
     def multiply(self, q, output):
         assert output.nvec() == q.shape[1]
-        q = jnp.asarray(np.asarray(q, dtype=self.data_type())
-                        if not isinstance(q, jax.Array) else q)
-        output._array = _k_multiply(self._array, self._sel[0], self.nvec(),
-                                    q, output._array, output._sel[0],
-                                    output.nvec())
+        ka, ko = self.nvec(), output.nvec()
+        Ba, Bo = bucket(ka), bucket(ko)
+        qj = _padq(q, Ba, Bo, self.data_type())
+        output._ensure_capacity(output._sel[0] + Bo)
+        if output._array is self._array:
+            output._array = _k_multiply_inplace(
+                self._array, self._sel[0], Ba, qj, output._sel[0], ko, Bo)
+        else:
+            output._array = _k_multiply(self._array, self._sel[0], Ba, qj,
+                                        output._array, output._sel[0], ko,
+                                        Bo)
 
     def add(self, other, s, q=None):
         f, k = self._sel
         if np.isscalar(s):
-            alpha = np.asarray(s, dtype=np.result_type(self.data_type()))
+            alpha = np.asarray(s, dtype=self._array.dtype)
             if q is None:
+                B = bucket(k)
                 self._array = _k_add_scalar(self._array, f, k,
-                                            other._array, other._sel[0],
-                                            other.nvec(), alpha)
+                                            other._array, other._sel[0], B,
+                                            alpha)
             else:
-                qj = jnp.asarray(np.asarray(q))
-                self._array = _k_add_combi(self._array, f, k,
-                                           other._array, other._sel[0],
-                                           other.nvec(), alpha, qj)
+                ko = other.nvec()
+                Bs, Bo = bucket(k), bucket(ko)
+                qj = _padq(q, Bo, Bs, self.data_type())
+                self._array = _k_add_combi(self._array, f, k, Bs,
+                                           other._array, other._sel[0], Bo,
+                                           alpha, qj)
         else:
-            coef = jnp.asarray(np.asarray(s).reshape(-1)[:k])
+            B = bucket(k)
+            sv = np.asarray(s).reshape(-1)[:k]
+            dt = self._array.dtype if np.iscomplexobj(sv) \
+                else _real_dtype(self.data_type())
+            coef = _padv(sv, B, dt)
             self._array = _k_add_rows(self._array, f, other._array,
-                                      other._sel[0], k, coef)
+                                      other._sel[0], k, B, coef)
 
     # ---- backend extras -------------------------------------------------
 
     def orthogonalize(self, other):
-        self._array, q = _k_ortho(self._array, self._sel[0], self.nvec(),
-                                  other._array, other._sel[0], other.nvec())
-        return self.new_vectors(np.asarray(q))
+        ks, ko = self.nvec(), other.nvec()
+        self._array, q = _k_ortho(self._array, self._sel[0], ks, bucket(ks),
+                                  other._array, other._sel[0], ko,
+                                  bucket(ko))
+        return self.new_vectors(np.asarray(q)[:ko, :ks])
 
     def svd(self):
         """Economy SVD of the selected block: storage rows become the right
         singular vectors V^H, returns (sigma, conj(U)).
 
         TPU-native formulation: Gram matrix on device + small host eigh +
-        device rotation, followed by one Cholesky-QR refinement pass — the
-        tall-skinny-QR-friendly scheme the reference itself uses for
-        ``_finalize_svd`` (raleigh/interfaces/partial_svd.py:162-235) —
-        instead of a monolithic host gesvd (dense_cublas.py:537).
-        """
+        device rotation, refined by one Cholesky-QR pass — the tall-skinny
+        scheme the reference itself uses in ``_finalize_svd``
+        (raleigh/interfaces/partial_svd.py:162-235) — instead of a
+        monolithic host gesvd (dense_cublas.py:537)."""
         f, k = self._sel
         dt = self.data_type()
-        # Gram of the block: self.dot(self) returns conj(X) X^T = conj(X X^H)
-        g = np.conj(np.asarray(_k_gram(self._array, f, k, self._array, f, k)))
+        g = np.conj(self.dot(self))                     # X X^H
         g = 0.5 * (g + g.conj().T)
-        lmd, u = np.linalg.eigh(g)                       # ascending
-        lmd, u = lmd[::-1].copy(), u[:, ::-1].copy()     # G = U S^2 U^H
+        lmd, u = np.linalg.eigh(g)                      # ascending
+        lmd, u = lmd[::-1].copy(), u[:, ::-1].copy()    # G = U S^2 U^H
         sigma = np.sqrt(np.maximum(lmd, 0.0))
         floor = max(np.sqrt(np.finfo(sigma.dtype).tiny),
                     np.finfo(sigma.dtype).eps * max(sigma[0], 1.0))
         inv = 1.0 / np.maximum(sigma, floor)
-        # V^H = S^-1 U^H X:  rows := q^T rows  with  q = conj(U S^-1)
-        q0 = np.conj(u * inv[None, :]).astype(dt, copy=False)
-        self._array = _k_multiply(self._array, f, k, jnp.asarray(q0),
-                                  self._array, f, k)
-        # one Cholesky-QR refinement: restores orthonormality lost to the
-        # squared condition number of the Gram route
-        g2 = np.conj(np.asarray(
-            _k_gram(self._array, f, k, self._array, f, k)))
+        # V^H = S^-1 U^H X:  rows := q^T rows with q = conj(U S^-1)
+        self.multiply(np.conj(u * inv[None, :]), self)
+        # Cholesky-QR refinement restores the orthonormality lost to the
+        # squared conditioning of the Gram route
+        g2 = np.conj(self.dot(self))
         g2 = 0.5 * (g2 + g2.conj().T)
         try:
-            c = np.linalg.cholesky(g2).conj().T          # g2 = C^H C
+            c = np.linalg.cholesky(g2).conj().T         # g2 = C^H C
             ci = np.linalg.inv(c)
-            # rows := C^-H rows  =>  q = conj(C^-1)
-            self._array = _k_multiply(self._array, f, k,
-                                      jnp.asarray(np.conj(ci).astype(dt)),
-                                      self._array, f, k)
-            # X = U S (C^H V^H_new): absorb C^H into the small factor
+            self.multiply(np.conj(ci), self)            # rows := C^-H rows
             t = (u * sigma[None, :]) @ c.conj().T
             p, sigma, qh = np.linalg.svd(t)
-            # rows := Q^H rows with Q^H = qh  =>  q = conj(qh^T) = qh^H
-            self._array = _k_multiply(self._array, f, k,
-                                      jnp.asarray(qh.conj().T.astype(dt)),
-                                      self._array, f, k)
+            # rows := qh rows, and multiply applies q^T without conjugation
+            self.multiply(qh.T, self)
             u = p
         except np.linalg.LinAlgError:
             pass
@@ -418,6 +535,17 @@ class Vectors:
 
     def apply(self, A, output, transp=False):
         A.apply(self, output, transp=transp)
+
+
+def _grow(a, cap, sharding):
+    """Return ``a`` padded with zero rows up to ``cap`` (and re-placed on
+    its sharding)."""
+    if a.shape[0] < cap:
+        a = jnp.concatenate(
+            (a, jnp.zeros((cap - a.shape[0], a.shape[1]), a.dtype)))
+    if sharding is not None:
+        a = jax.device_put(a, sharding)
+    return a
 
 
 def _real_dtype(dt):
@@ -461,9 +589,13 @@ class Matrix:
         return 'C_CONTIGUOUS'
 
     def apply(self, x, y, transp=False):
-        y._array = _k_apply_dense(self._data, x._array, x._sel[0], x.nvec(),
-                                  y._array, y._sel[0], y.nvec(),
-                                  transp, self.is_complex())
+        kx = x.nvec()
+        assert y.nvec() == kx
+        Bx = bucket(kx)
+        y._ensure_capacity(y._sel[0] + Bx)
+        y._array = _k_apply_dense(self._data, x._array, x._sel[0], Bx,
+                                  y._array, y._sel[0], kx, transp,
+                                  self.is_complex())
 
     def dots(self):
         v = Vectors(self, shallow=True)

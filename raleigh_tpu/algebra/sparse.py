@@ -1,0 +1,278 @@
+"""Sparse symmetric operators, direct solver, and preconditioners.
+
+Capability parity with reference raleigh/algebra/sparse_mkl.py (which
+bridges SciPy sparse matrices to MKL csrmm / PARDISO / ILUT), re-targeted:
+
+  * ``SparseSymmetricMatrix``   SpMM on block vectors — host SciPy CSR path
+    for the NumPy algebra, ELL/BSR device kernels (raleigh_tpu/ops/spmm.py)
+    for the JAX algebra;
+  * ``SparseSymmetricSolver``   shift-and-invert operator (A - sigma B)^-1
+    backed by the native C++ LDL^T (raleigh_tpu/native/ldlt.cpp) with
+    inertia — the PARDISO replacement;
+  * ``IncompleteLU``            ILU-type preconditioner (host SuperLU ILU,
+    reference sparse_mkl.py:122-140 semantics);
+  * ``Chebyshev``               TPU-native polynomial preconditioner: a
+    Chebyshev approximation to A^-1 on [lo, hi], applied as a short
+    recurrence of SpMMs entirely on device (the factorization-free
+    alternative SURVEY §7 calls for);
+  * ``Operator``                adapter giving any object with an
+    ndarray-level ``apply`` the Vectors-aware interface
+    (reference sparse_mkl.py:143-154).
+"""
+
+import numpy as np
+import scipy.sparse as scs
+
+from ..utils import verbosity
+
+
+def _vec_data(x):
+    d = getattr(x, 'data', None)
+    return x if d is None or not callable(d) else d()
+
+
+class SparseSymmetricMatrix:
+    """y = A x for blocks of row-vectors; A real symmetric (or Hermitian)
+    in any SciPy sparse format."""
+
+    def __init__(self, matrix, arch='cpu', dtype=None, bs=128):
+        a = scs.csr_matrix(matrix)
+        if dtype is not None:
+            a = a.astype(dtype)
+        from ..ops.spmm import _to_full_csr
+        self.__csr_full = _to_full_csr(a)
+        self.__csr = a
+        self.__arch = arch
+        self.__dev = None
+        if str(arch).lower().startswith(('tpu', 'gpu', 'jax')):
+            from ..ops.spmm import device_sparse
+            self.__dev = device_sparse(self.__csr_full,
+                                       dtype=self.__csr_full.dtype.type,
+                                       bs=bs)
+
+    def size(self):
+        return self.__csr.shape[0]
+
+    def shape(self):
+        return self.__csr.shape
+
+    def data_type(self):
+        return self.__csr.data.dtype
+
+    def csr(self):
+        return self.__csr
+
+    def csr_full(self):
+        return self.__csr_full
+
+    def device_matrix(self):
+        return self.__dev
+
+    def apply(self, x, y):
+        if self.__dev is not None and hasattr(x, 'device_data'):
+            import jax.numpy as jnp
+            xt = x.device_data().T            # (n, m) for row-major gathers
+            yt = self.__dev.matmat_t(xt)
+            y.fill(np.asarray(yt.T))
+            return
+        xd = _vec_data(x)
+        out = self.__csr_full.dot(xd.T).T
+        try:
+            y.fill(out)
+        except AttributeError:
+            y[...] = out
+
+
+class SparseSymmetricSolver:
+    """Shift-and-invert operator: factorize A - sigma*B once (native LDL^T),
+    then ``apply`` solves with block right-hand sides
+    (reference sparse_mkl.py:51-120)."""
+
+    def __init__(self, dtype=np.float64, pos_def=False):
+        self.__dtype = np.dtype(dtype).type
+        self.__pos_def = pos_def
+        self.__ldlt = None
+        self.__n = None
+        self.__sigma = 0
+
+    def analyse(self, a, sigma=0, b=None):
+        if np.dtype(self.__dtype).kind == 'c':
+            raise NotImplementedError(
+                'complex sparse factorization not yet available in the '
+                'native LDL^T; use the preconditioned path')
+        if sigma != 0:
+            if b is None:
+                b = scs.eye(a.shape[0], dtype=a.dtype, format='csr')
+            a_s = a - sigma * b
+        else:
+            a_s = a
+        from ..native.ldlt import SparseLDLT
+        self.__ldlt = SparseLDLT(a_s)
+        nnz_l = self.__ldlt.analyse()
+        if verbosity.level > 0:
+            print('LDL^T factor nnz: %d' % nnz_l)
+        self.__n = a.shape[0]
+        self.__sigma = sigma
+
+    def factorize(self):
+        try:
+            self.__ldlt.factorize()
+        except RuntimeError as e:
+            raise RuntimeError('factorization failed (near singular '
+                               'matrix?): %s' % e)
+
+    def solve(self, b, x):
+        bd = _vec_data(b)
+        out = self.__ldlt.solve(np.asarray(bd, dtype=np.float64))
+        if callable(getattr(x, 'data', None)):   # Vectors
+            x.fill(out.astype(np.dtype(bd.dtype), copy=False))
+        else:
+            x[...] = out
+
+    def apply(self, b, x):
+        self.solve(b, x)
+
+    def inertia(self):
+        return self.__ldlt.inertia()
+
+    def size(self):
+        return self.__n
+
+    def data_type(self):
+        return self.__dtype
+
+    def sigma(self):
+        return self.__sigma
+
+    def solver(self):
+        return self.__ldlt
+
+
+class IncompleteLU:
+    """ILU-type preconditioner via SuperLU's ILUTP (semantic parity with
+    the reference's MKL dcsrilut wrapper, sparse_mkl.py:122-140)."""
+
+    def __init__(self, matrix):
+        self.__a = scs.csc_matrix(matrix)
+        self.__ilu = None
+
+    def factorize(self, tol=1e-6, max_fill=1):
+        import scipy.sparse.linalg as spl
+        nnz_per_col = max(1, int(self.__a.nnz / self.__a.shape[0]))
+        self.__ilu = spl.spilu(self.__a, drop_tol=tol,
+                               fill_factor=1.0 + max_fill)
+        _ = nnz_per_col
+
+    def apply(self, x, y):
+        if self.__ilu is None:
+            self.factorize()
+        xd = np.asarray(_vec_data(x))
+        out = self.__ilu.solve(xd.T).T
+        try:
+            y.fill(out.astype(xd.dtype, copy=False))
+        except AttributeError:
+            y[...] = out
+
+
+class Chebyshev:
+    """Polynomial (Chebyshev) approximation to A^-1 on [lo, hi] applied by
+    a short SpMM recurrence — the TPU-native, factorization-free
+    preconditioner: every application is ``degree`` SpMMs that run entirely
+    on device (no host round-trips, no triangular solves)."""
+
+    def __init__(self, matrix, lo, hi, degree=8, arch='cpu'):
+        self.__op = (matrix if isinstance(matrix, SparseSymmetricMatrix)
+                     else SparseSymmetricMatrix(matrix, arch=arch))
+        self.lo = float(lo)
+        self.hi = float(hi)
+        self.degree = int(degree)
+
+    def apply(self, x, y):
+        """y ~= A^-1 x: Chebyshev iteration for A y = x with y0 = 0,
+        eigenvalue bounds [lo, hi]."""
+        theta = 0.5 * (self.hi + self.lo)
+        delta = 0.5 * (self.hi - self.lo)
+        sigma1 = theta / delta
+        rho = 1.0 / sigma1
+        # allocate work blocks of the same kind as x
+        d = _clone_zero(x)      # search direction
+        r = _clone_copy(x)      # residual (starts as x, since y0 = 0)
+        ay = _clone_zero(x)
+        _scale_add(d, r, 1.0 / theta, reset=True)
+        _zero(y)
+        for _ in range(self.degree):
+            _axpy(y, d, 1.0)                 # y += d
+            self.__op.apply(d, ay)           # ay = A d
+            _axpy(r, ay, -1.0)               # r -= A d
+            rho_new = 1.0 / (2.0 * sigma1 - rho)
+            coef = rho * rho_new
+            _scale_add(d, r, 2.0 * rho_new / delta, scale=coef)
+            rho = rho_new
+
+    def preconditioner(self):
+        return self
+
+
+# -- tiny helpers working on either Vectors or ndarrays ---------------------
+
+def _clone_zero(x):
+    try:
+        v = x.new_vectors(x.nvec())
+        v.zero()
+        return v
+    except AttributeError:
+        return np.zeros_like(x)
+
+
+def _clone_copy(x):
+    try:
+        return x.clone()
+    except AttributeError:
+        return x.copy()
+
+
+def _zero(x):
+    try:
+        x.zero()
+    except AttributeError:
+        x[...] = 0
+
+
+def _axpy(y, x, a):
+    try:
+        y.add(x, a)
+    except AttributeError:
+        y += a * x
+
+
+def _scale_add(d, r, coef_r, scale=0.0, reset=False):
+    """d := scale * d + coef_r * r (reset: d := coef_r * r)."""
+    try:
+        if reset or scale == 0.0:
+            d.zero()
+        else:
+            d.scale(np.full(d.nvec(), 1.0 / scale))
+        d.add(r, coef_r)
+    except AttributeError:
+        if reset or scale == 0.0:
+            d[...] = coef_r * r
+        else:
+            d[...] = scale * d + coef_r * r
+
+
+class Operator:
+    """Vectors-aware adapter for any object exposing apply(ndarray, ndarray)
+    (reference sparse_mkl.py:143-154)."""
+
+    def __init__(self, op):
+        self.__op = op
+
+    def apply(self, x, y):
+        try:
+            xd = x.data()
+        except AttributeError:
+            self.__op.apply(x, y)
+            return
+        yd = np.empty_like(xd)
+        self.__op.apply(xd, yd)
+        y.fill(yd)

@@ -1,0 +1,183 @@
+"""Partial eigenvalue solver for sparse symmetric/Hermitian problems.
+
+Capability parity with reference raleigh/interfaces/partial_hevp.py:21-257:
+shift-and-invert via sparse factorization (native LDL^T instead of MKL
+PARDISO) with the factorization-accuracy probe and inertia-driven splitting
+of ``which`` around the shift, the preconditioned path (ILU-equivalent or
+the TPU-native Chebyshev polynomial preconditioner), buckling mode with its
+load-factor back-transform, and the same status codes.
+"""
+
+import time
+
+import numpy as np
+
+from ..algebra.sparse import (SparseSymmetricMatrix, SparseSymmetricSolver,
+                              Operator)
+from ..core.solver import Problem, Solver, Options, DefaultConvergenceCriteria
+
+
+def partial_hevp(A, B=None, T=None, buckling=False, sigma=0, which=6,
+                 tol=1e-4, verb=0, opt=None, arch='cpu'):
+    """Compute eigenpairs of a sparse symmetric problem near a shift
+    (factorization path) or at the lower end of the spectrum
+    (preconditioned path).  See reference partial_hevp.py:21-95 for the
+    parameter/status contract; ``arch`` additionally selects the algebra
+    backend ('cpu' host / 'tpu' device) for the block-vector iteration.
+
+    Returns (lmd, x, status).
+    """
+    if opt is None:
+        opt = Options()
+    if buckling and sigma >= 0:
+        raise ValueError('sigma must be negative in buckling mode')
+
+    if str(arch).lower().startswith(('tpu', 'gpu', 'jax')):
+        from ..algebra import dense_jax as backend
+    else:
+        from ..algebra import dense_numpy as backend
+
+    if B is not None:
+        opB = SparseSymmetricMatrix(A if buckling else B, arch=arch)
+    else:
+        if buckling:
+            raise RuntimeError('stress stiffness matrix missing in '
+                               'buckling mode')
+        opB = None
+
+    if T is None:
+        # ---------------- shift-and-invert via factorization ------------
+        if isinstance(A, SparseSymmetricSolver):
+            n = A.size()
+            dtype = A.data_type()
+            sigma = A.sigma()
+            solver = A
+        else:
+            m, n = A.shape
+            if m != n:
+                raise ValueError('the matrix must be square')
+            dtype = A.data.dtype.type
+            solver = SparseSymmetricSolver(dtype=dtype)
+            if verb > -1:
+                print('setting up the linear system solver...')
+            start = time.time()
+            solver.analyse(A, sigma, B)
+            solver.factorize()
+
+            # factorization-accuracy probe: solve on random data and abort
+            # when the relative error exceeds 1% (reference
+            # partial_hevp.py:128-167)
+            opA_probe = SparseSymmetricMatrix(A)
+            b = backend.Vectors(n, 3, data_type=dtype)
+            x = backend.Vectors(n, 3, data_type=dtype)
+            y = backend.Vectors(n, 3, data_type=dtype)
+            x.fill_random()
+            opA_probe.apply(x, b)
+            opB_probe = SparseSymmetricMatrix(B) if B is not None else None
+            if opB_probe is not None:
+                opB_probe.apply(x, y)
+                z = y
+            else:
+                z = x
+            s = x.dots(x).real
+            if sigma != 0:
+                b.add(z, -sigma)
+            solver.solve(b, y)
+            y.add(x, -1)
+            t = y.dots(y).real
+            err = np.amax(np.sqrt(np.abs(t / s)))
+            if err > 0.01:
+                if verb > -1:
+                    print('factorization too inaccurate: relative error '
+                          '%.1e, consider moving shift slightly' % err)
+                return None, None, -1
+            elif verb > -1:
+                print('estimated factorization error: %.1e' % err)
+                print('setup time: %.2e' % (time.time() - start))
+
+        opAinv = solver
+        neg, pos = solver.inertia()
+        if verb > -1:
+            print('positive eigenvalues: %d' % pos)
+            print('negative eigenvalues: %d' % neg)
+        if isinstance(which, tuple):
+            if len(which) != 2:
+                raise ValueError('which must be an integer or a pair')
+            which = (min(which[0], neg), min(which[1], pos))
+        else:
+            if buckling:
+                which = (neg, 0) if which < neg else (neg, which - neg)
+            elif neg < 1:
+                which = (0, which)
+            elif pos < 1:
+                which = (which, 0)
+            # else: leave ``which`` an integer — in shift-invert the
+            # transformed spectrum 1/(lmd - sigma) makes "largest
+            # magnitude" mean "nearest to sigma on either side"
+        eigenvectors = backend.Vectors(n, data_type=dtype)
+        if B is None:
+            evp = Problem(eigenvectors, opAinv)
+        else:
+            evp = Problem(eigenvectors, opAinv, opB, 'pro')
+        evp_solver = Solver(evp)
+        sigma_opt = sigma
+    else:
+        # ---------------- preconditioned path ----------------------------
+        if buckling:
+            raise ValueError('preconditioning for buckling problems is not'
+                             ' supported')
+        opA = SparseSymmetricMatrix(A, arch=arch)
+        n = opA.size()
+        dtype = opA.data_type().type
+        eigenvectors = backend.Vectors(n, data_type=dtype)
+        opT = T if hasattr(T, 'apply') and not _ndarray_level(T) \
+            else Operator(T)
+        if B is None:
+            evp = Problem(eigenvectors, opA)
+        else:
+            evp = Problem(eigenvectors, opA, opB, 'gen')
+        evp_solver = Solver(evp)
+        evp_solver.set_preconditioner(opT)
+        sigma_opt = None
+        if isinstance(which, tuple):
+            raise ValueError('which must be an integer when preconditioning'
+                             ' is used')
+        which = (which, 0)
+
+    opt.convergence_criteria = DefaultConvergenceCriteria()
+    opt.convergence_criteria.set_error_tolerance('k eigenvector error', tol)
+    opt.sigma = sigma_opt
+
+    start = time.time()
+    status = evp_solver.solve(eigenvectors, opt, which=which)
+    if status < 0:
+        return None, None, status
+    solve_time = time.time() - start
+    if T is None:
+        if buckling:
+            lmd = sigma / (1 - 1 / evp_solver.eigenvalues)
+        else:
+            lmd = sigma + 1.0 / evp_solver.eigenvalues
+    else:
+        lmd = evp_solver.eigenvalues
+    ind = np.argsort(-lmd) if buckling else np.argsort(lmd)
+    lmd = lmd[ind]
+    ne = eigenvectors.nvec()
+    if verb > -1:
+        print('iterations: %d, solve time: %.2e'
+              % (evp_solver.iteration, solve_time))
+    x = eigenvectors.data().T
+    if ne > 0:
+        x = x[:, ind]
+    return lmd, x, status
+
+
+def _ndarray_level(T):
+    """True when T.apply expects plain ndarrays (needs the Operator
+    adapter) rather than Vectors."""
+    import inspect
+    try:
+        mod = type(T).__module__
+        return not mod.startswith('raleigh_tpu')
+    except Exception:
+        return True

@@ -1,0 +1,160 @@
+"""ctypes binding for the native sparse LDL^T solver (ldlt.cpp).
+
+Replaces the reference's ctypes->MKL PARDISO route
+(reference raleigh/algebra/mkl_wrap.py:350-545) with our own native code:
+analyse / factorize / block solve / inertia.  The shared library is built
+on first use with g++ and cached next to the source.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, 'ldlt.cpp')
+_LIB = os.path.join(_HERE, 'libldlt.so')
+_lock = threading.Lock()
+_lib = None
+
+
+def _build():
+    cmd = ['g++', '-O3', '-march=native', '-funroll-loops', '-shared',
+           '-fPIC', _SRC, '-o', _LIB]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        from ..utils import env
+        path = env.native_lib_path or _LIB
+        if not os.path.exists(path) or (
+                path == _LIB and os.path.getmtime(_SRC) > os.path.getmtime(path)):
+            _build()
+        lib = ctypes.CDLL(path)
+        i64 = ctypes.c_int64
+        p64 = ctypes.POINTER(ctypes.c_int64)
+        pd = ctypes.POINTER(ctypes.c_double)
+        lib.ldlt_create.restype = ctypes.c_void_p
+        lib.ldlt_create.argtypes = [i64, p64, p64, pd]
+        lib.ldlt_destroy.argtypes = [ctypes.c_void_p]
+        lib.ldlt_analyse.restype = i64
+        lib.ldlt_analyse.argtypes = [ctypes.c_void_p]
+        lib.ldlt_factorize.restype = i64
+        lib.ldlt_factorize.argtypes = [ctypes.c_void_p, ctypes.c_double]
+        lib.ldlt_solve.argtypes = [ctypes.c_void_p, i64, pd, pd]
+        lib.ldlt_inertia.argtypes = [ctypes.c_void_p, p64, p64, p64]
+        lib.ldlt_factor_nnz.restype = i64
+        lib.ldlt_factor_nnz.argtypes = [ctypes.c_void_p]
+        lib.ldlt_perturbed.restype = i64
+        lib.ldlt_perturbed.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return lib
+
+
+def native_available():
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+def _ptr64(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def _ptrd(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+class SparseLDLT:
+    """LDL^T factorization of a real symmetric scipy sparse matrix with a
+    fill-reducing permutation computed host-side (reverse Cuthill-McKee).
+
+    Parity with the capability set of reference mkl_wrap.ParDiSo:
+    ``analyse`` ~ phase 11, ``factorize`` ~ phase 22, ``solve`` ~ phase 33
+    with block RHS, ``inertia`` ~ iparm[21..22].
+    """
+
+    def __init__(self, a, pivot_rel_eps=1e-14):
+        import scipy.sparse as scs
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        a = scs.csr_matrix(a)
+        n = a.shape[0]
+        if a.shape[0] != a.shape[1]:
+            raise ValueError('matrix must be square')
+        self.n = n
+        self._lib = _load()
+        perm = np.asarray(reverse_cuthill_mckee(a, symmetric_mode=True),
+                          dtype=np.int64)
+        self.perm = perm
+        self.iperm = np.empty_like(perm)
+        self.iperm[perm] = np.arange(n, dtype=np.int64)
+        ap = a[perm, :][:, perm]
+        # upper-tri CSC == lower-tri CSR of the permuted matrix
+        upper_csc = scs.triu(ap, format='csc')
+        upper_csc.sort_indices()
+        self._ind = (upper_csc.indptr.astype(np.int64),
+                     upper_csc.indices.astype(np.int64),
+                     upper_csc.data.astype(np.float64))
+        self._h = self._lib.ldlt_create(
+            ctypes.c_int64(n), _ptr64(self._ind[0]), _ptr64(self._ind[1]),
+            _ptrd(self._ind[2]))
+        self._pivot_rel_eps = pivot_rel_eps
+        self.factor_nnz = 0
+
+    def analyse(self):
+        return int(self._lib.ldlt_analyse(self._h))
+
+    def factorize(self):
+        status = int(self._lib.ldlt_factorize(
+            self._h, ctypes.c_double(self._pivot_rel_eps)))
+        if status < 0:
+            raise RuntimeError('LDL^T factorization failed at column %d'
+                               % (-status - 1))
+        self.factor_nnz = int(self._lib.ldlt_factor_nnz(self._h))
+        return status
+
+    def solve(self, b, x=None):
+        """Solve A x = b; ``b`` is (nrhs, n) (rows are right-hand sides) or
+        (n,).  Returns x of the same shape."""
+        b = np.asarray(b, dtype=np.float64)
+        one_d = b.ndim == 1
+        if one_d:
+            b = b.reshape(1, -1)
+        nrhs, n = b.shape
+        # permute and transpose to RHS-contiguous (n, nrhs) layout
+        bp = np.ascontiguousarray(b[:, self.perm].T)
+        self._lib.ldlt_solve(self._h, ctypes.c_int64(nrhs), _ptrd(bp),
+                             _ptrd(bp))
+        out = bp.T[:, self.iperm]
+        if x is not None:
+            x[...] = out.reshape(x.shape)
+            return x
+        return out[0] if one_d else out
+
+    def inertia(self):
+        neg = ctypes.c_int64()
+        pos = ctypes.c_int64()
+        zero = ctypes.c_int64()
+        self._lib.ldlt_inertia(self._h, ctypes.byref(neg), ctypes.byref(pos),
+                               ctypes.byref(zero))
+        return int(neg.value), int(pos.value)
+
+    def perturbed_pivots(self):
+        return int(self._lib.ldlt_perturbed(self._h))
+
+    def __del__(self):
+        try:
+            if getattr(self, '_h', None):
+                self._lib.ldlt_destroy(self._h)
+                self._h = None
+        except Exception:
+            pass

@@ -1,0 +1,170 @@
+"""Device SpMM: symmetric sparse matrix times a block of row-vectors.
+
+TPU-native replacement for the capability the reference reaches through
+MKL's csrsymv/csrmm (reference raleigh/algebra/mkl_wrap.py:204-277).  The
+reference stores only the upper triangle (MKL descriptor 'SUNF'); here we
+store *full rows* — the symmetric gather/scatter asymmetry of csrsymv is
+hostile to SIMD machines, and storing both halves makes every output row an
+independent reduction (reference SURVEY §7 design note).
+
+Two device layouts:
+
+  * ELL ("padded rows"): indices/values padded to the max row degree and
+    processed as a `lax.scan` over diagonals of the padded structure — each
+    step is one gather of the (n, m) operand block plus a fused
+    multiply-add.  Bandwidth-bound, works for any block width m, and is the
+    layout halo-exchange sharding composes with (gathers stay local to the
+    row shard).
+
+  * BSR ("block tiles"): the matrix is cut into dense (bs x bs) tiles and
+    nonempty tiles are contracted on the MXU against the operand tiles via
+    one batched matmul per tile-row group.  Wins when the block width m and
+    the tile fill are large enough to amortize the zero padding.
+
+Operands are (m, n) blocks with vectors as rows (the algebra-layer storage
+convention); internally SpMM runs on the transposed (n, m) layout so row
+gathers hit the contiguous major dimension.
+"""
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _to_full_csr(a):
+    """scipy sparse (any symmetric storage) -> full-row canonical CSR."""
+    import scipy.sparse as scs
+    a = scs.csr_matrix(a)
+    # symmetrize from whichever triangle(s) are present
+    au = scs.triu(a, k=1)
+    al = scs.tril(a, k=-1)
+    if au.nnz == 0 and al.nnz > 0:
+        a = a + al.T
+    elif al.nnz == 0 and au.nnz > 0:
+        a = a + au.T
+    a = scs.csr_matrix(a)
+    a.sum_duplicates()
+    a.sort_indices()
+    return a
+
+
+class EllMatrix:
+    """Padded-row (ELLPACK) device storage of a symmetric sparse matrix."""
+
+    def __init__(self, a, dtype=np.float32, pad_to=8):
+        a = _to_full_csr(a)
+        n = a.shape[0]
+        deg = np.diff(a.indptr)
+        k = int(deg.max()) if n else 0
+        k = max(1, ((k + pad_to - 1) // pad_to) * pad_to)
+        idx = np.zeros((n, k), dtype=np.int32)
+        val = np.zeros((n, k), dtype=dtype)
+        # vectorized fill of the padded structure
+        rows = np.repeat(np.arange(n), deg)
+        offs = np.arange(a.nnz) - np.repeat(a.indptr[:-1], deg)
+        idx[rows, offs] = a.indices
+        val[rows, offs] = a.data.astype(dtype)
+        self.shape = (n, n)
+        self.nnz = int(a.nnz)
+        self.row_degree = k
+        self.idx = jnp.asarray(idx)
+        self.val = jnp.asarray(val)
+        self.dtype = dtype
+
+    def matmat_t(self, xt):
+        """(n, m) = A @ (n, m): operand and result transposed blocks."""
+        return _ell_matmat(self.idx, self.val, xt)
+
+
+@jax.jit
+def _ell_matmat(idx, val, xt):
+    """y[i, :] = sum_k val[i, k] * xt[idx[i, k], :] via a scan over the
+    padded-column axis (one gather + fma per step keeps peak memory at one
+    (n, m) temporary instead of an (n, K, m) cube)."""
+    m = xt.shape[1]
+    n, K = idx.shape
+
+    def step(acc, ev):
+        col_idx, col_val = ev
+        acc = acc + col_val[:, None] * jnp.take(xt, col_idx, axis=0,
+                                                fill_value=0)
+        return acc, None
+
+    init = jnp.zeros((n, m), dtype=xt.dtype)
+    acc, _ = jax.lax.scan(step, init,
+                          (jnp.moveaxis(idx, 1, 0), jnp.moveaxis(val, 1, 0)))
+    return acc
+
+
+class BsrMatrix:
+    """Block-sparse (dense tile) device storage: nonempty (bs x bs) tiles
+    contracted on the MXU."""
+
+    def __init__(self, a, dtype=np.float32, bs=128):
+        import scipy.sparse as scs
+        a = _to_full_csr(a)
+        n = a.shape[0]
+        nb = -(-n // bs)
+        ab = scs.bsr_matrix(a, blocksize=(min(bs, n), min(bs, n))) \
+            if n % bs == 0 else None
+        if ab is None:
+            pad = nb * bs - n
+            a = scs.csr_matrix(
+                scs.vstack([scs.hstack([a, scs.csr_matrix((n, pad))]),
+                            scs.csr_matrix((pad, nb * bs))]))
+            ab = scs.bsr_matrix(a, blocksize=(bs, bs))
+        ab.sort_indices()
+        self.shape = (n, n)
+        self.n_padded = nb * bs
+        self.bs = bs
+        self.nnz = int(_to_full_csr(a).nnz)
+        self.block_indptr = np.asarray(ab.indptr)
+        self.block_cols = jnp.asarray(ab.indices.astype(np.int32))
+        self.blocks = jnp.asarray(ab.data.astype(dtype))  # (nblocks, bs, bs)
+        # row-block id for every stored tile (for segment reduction)
+        self.block_rows = jnp.asarray(
+            np.repeat(np.arange(nb, dtype=np.int32),
+                      np.diff(ab.indptr)))
+        self.nb = nb
+        self.dtype = dtype
+
+    def matmat_t(self, xt):
+        """(n, m) = A @ (n, m) with MXU tile contractions."""
+        n, m = xt.shape
+        pad = self.n_padded - n
+        if pad:
+            xt = jnp.pad(xt, ((0, pad), (0, 0)))
+        y = _bsr_matmat(self.blocks, self.block_cols, self.block_rows,
+                        xt.reshape(self.nb, self.bs, m), self.nb)
+        y = y.reshape(self.n_padded, m)
+        return y[:n] if pad else y
+
+
+@partial(jax.jit, static_argnames=('nb',))
+def _bsr_matmat(blocks, block_cols, block_rows, xtiles, nb):
+    # gather operand tiles, batched matmul on the MXU, segment-sum per
+    # block row
+    xg = jnp.take(xtiles, block_cols, axis=0)          # (nnzb, bs, m)
+    prod = jnp.einsum('bij,bjk->bik', blocks, xg,
+                      preferred_element_type=xtiles.dtype)
+    return jax.ops.segment_sum(prod, block_rows, num_segments=nb)
+
+
+def device_sparse(a, dtype=np.float32, block_width_hint=32, bs=128):
+    """Choose a device layout for the symmetric sparse matrix ``a``: BSR
+    when tile fill * block width can feed the MXU, ELL otherwise."""
+    csr = _to_full_csr(a)
+    n = csr.shape[0]
+    if n >= bs:
+        # number of nonempty tiles = distinct (row_tile, col_tile) pairs
+        nb = -(-n // bs)
+        row_t = np.repeat(np.arange(n) // bs, np.diff(csr.indptr))
+        keys = row_t.astype(np.int64) * nb + (csr.indices // bs)
+        ntiles = np.unique(keys).size
+        fill = csr.nnz / (ntiles * bs * bs)
+        if fill * min(block_width_hint, 128) >= 8.0:
+            return BsrMatrix(csr, dtype=dtype, bs=bs)
+    return EllMatrix(csr, dtype=dtype)

@@ -15,6 +15,9 @@ os.environ.setdefault('JAX_ENABLE_X64', '1')
 
 import jax  # noqa: E402
 
+# belt and braces: the env var only works if jax was not initialized by a
+# pytest plugin first; the config update always does
+jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,129 @@
+"""Sparse stack tests: SpMM device kernels vs SciPy, native LDL^T,
+partial_hevp shift-invert / preconditioned / buckling paths on Laplacian
+test matrices with exact-eigenvalue pins
+(oracle pattern of reference examples/sparse_evp.py:74-100)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as scs
+import scipy.sparse.linalg as spl
+
+from raleigh_tpu.examples.laplace import lap2d, lap3d, lap3d_eigenvalues
+
+
+def test_ell_and_bsr_spmm_match_scipy():
+    from raleigh_tpu.ops.spmm import EllMatrix, BsrMatrix
+    np.random.seed(1)
+    a = lap2d(30, 30, 1.0, 1.0)
+    n = a.shape[0]
+    x = np.random.randn(n, 7).astype(np.float32)
+    want = a @ x
+    ell = EllMatrix(a)
+    got = np.asarray(ell.matmat_t(x))
+    assert np.allclose(got, want, rtol=1e-4, atol=1e-4 * np.abs(want).max())
+    bsr = BsrMatrix(a, bs=64)
+    got = np.asarray(bsr.matmat_t(x))
+    assert np.allclose(got, want, rtol=1e-4, atol=1e-4 * np.abs(want).max())
+
+
+def test_sparse_matrix_apply_vectors():
+    from raleigh_tpu.algebra.sparse import SparseSymmetricMatrix
+    from raleigh_tpu.algebra import dense_numpy, dense_jax
+    a = lap2d(20, 20, 1.0, 1.0)
+    n = a.shape[0]
+    np.random.seed(1)
+    xd = np.random.randn(5, n)
+    for backend, arch in ((dense_numpy, 'cpu'), (dense_jax, 'tpu')):
+        op = SparseSymmetricMatrix(a, arch=arch)
+        x = backend.Vectors(xd.astype(np.float64))
+        y = backend.Vectors(n, 5, np.float64)
+        op.apply(x, y)
+        assert np.allclose(y.data(), (a @ xd.T).T, rtol=1e-6, atol=1e-6)
+
+
+def test_native_ldlt_shift_invert_probe():
+    from raleigh_tpu.algebra.sparse import SparseSymmetricSolver
+    a = lap3d(10, 10, 10, 1.0, 1.0, 1.0)
+    s = SparseSymmetricSolver()
+    s.analyse(a, sigma=50.0)
+    s.factorize()
+    neg, pos = s.inertia()
+    w = np.linalg.eigvalsh(a.toarray())
+    assert neg == int(np.sum(w < 50.0))
+    b = np.random.randn(4, a.shape[0])
+    x = np.empty_like(b)
+    s.solve(b, x)
+    res = (a @ x.T - 50.0 * x.T) - b.T
+    assert np.linalg.norm(res) / np.linalg.norm(b) < 1e-10
+
+
+def test_partial_hevp_smallest_shift_invert():
+    from raleigh_tpu.interfaces.partial_hevp import partial_hevp
+    a = lap3d(10, 10, 12, 1.0, 1.01, 1.02)
+    lmd, x, status = partial_hevp(a, sigma=0, which=6, tol=1e-6, verb=-1)
+    assert status == 0
+    exact = np.sort(lap3d_eigenvalues(10, 10, 12, 1.0, 1.01, 1.02))[:6]
+    assert np.allclose(lmd[:6], exact, rtol=1e-6)
+    # eigenvectors: residual check
+    r = a @ x[:, :6] - x[:, :6] * lmd[None, :6]
+    assert np.linalg.norm(r) < 1e-4 * np.abs(exact[-1])
+
+
+def test_partial_hevp_interior_shift():
+    a = lap3d(8, 8, 8, 1.0, 1.0, 1.0)
+    exact = np.sort(lap3d_eigenvalues(8, 8, 8, 1.0, 1.0, 1.0))
+    sigma = float(0.5 * (exact[9] + exact[10]))
+    from raleigh_tpu.interfaces.partial_hevp import partial_hevp
+    lmd, x, status = partial_hevp(a, sigma=sigma, which=6, tol=1e-6, verb=-1)
+    assert status >= 0
+    assert len(lmd) >= 6
+    # the computed eigenvalues must be the nearest to sigma (compare the
+    # multiset of distances — the spectrum has exact distance ties)
+    dist_got = np.sort(np.abs(np.asarray(lmd) - sigma))
+    dist_exact = np.sort(np.abs(exact - sigma))[:len(lmd)]
+    assert np.allclose(dist_got, dist_exact, rtol=1e-6)
+
+
+def test_partial_hevp_preconditioned():
+    from raleigh_tpu.interfaces.partial_hevp import partial_hevp
+    from raleigh_tpu.algebra.sparse import IncompleteLU
+    a = lap3d(10, 10, 10, 1.0, 1.0, 1.0)
+    T = IncompleteLU(a)
+    T.factorize(tol=1e-4, max_fill=4)
+    lmd, x, status = partial_hevp(a, T=T, which=5, tol=1e-5, verb=-1)
+    assert status == 0
+    exact = np.sort(lap3d_eigenvalues(10, 10, 10, 1.0, 1.0, 1.0))[:5]
+    assert np.allclose(lmd[:5], exact, rtol=1e-4)
+
+
+def test_partial_hevp_generalized():
+    from raleigh_tpu.interfaces.partial_hevp import partial_hevp
+    a = lap2d(16, 16, 1.0, 1.0)
+    n = a.shape[0]
+    b = scs.diags(np.full(n, 2.0), format='csr')
+    lmd, x, status = partial_hevp(a, B=b, sigma=0, which=4, tol=1e-6,
+                                  verb=-1)
+    assert status == 0
+    w = spl.eigsh(a, M=b, k=4, sigma=0, which='LM',
+                  return_eigenvectors=False)
+    assert len(lmd) >= 4
+    assert np.allclose(np.sort(lmd)[:4], np.sort(w), rtol=1e-6)
+
+
+def test_partial_hevp_buckling():
+    from raleigh_tpu.interfaces.partial_hevp import partial_hevp
+    # buckling pencil: K x = lmd Ks x with K SPD, Ks negative definite;
+    # reference convention (partial_hevp.py:239-249): descending lmd, the
+    # leading ones being the critical load factors nearest zero
+    np.random.seed(1)
+    k = lap2d(12, 12, 1.0, 1.0)
+    n = k.shape[0]
+    ks = scs.diags(np.linspace(-1.0, -2.0, n), format='csr')
+    # dense oracle: lmd = -eigvalsh(S^-1 K S^-1), S = sqrt(-Ks)
+    s_inv = scs.diags(1.0 / np.sqrt(-ks.diagonal()))
+    w = -np.linalg.eigvalsh((s_inv @ k @ s_inv).toarray())
+    w_desc = np.sort(w)[::-1]  # nearest zero first (all negative)
+    lmd, x, status = partial_hevp(k, B=ks, buckling=True, sigma=-15.0,
+                                  which=3, tol=1e-6, verb=-1)
+    assert status >= 0
+    assert np.allclose(lmd[:3], w_desc[:3], rtol=1e-4)
