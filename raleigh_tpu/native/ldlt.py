@@ -14,7 +14,7 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, 'ldlt.cpp')
+_SRC = [os.path.join(_HERE, 'ldlt.cpp'), os.path.join(_HERE, 'amd.cpp')]
 _LIB = os.path.join(_HERE, 'libldlt.so')
 _lock = threading.Lock()
 _lib = None
@@ -22,7 +22,7 @@ _lib = None
 
 def _build():
     cmd = ['g++', '-O3', '-march=native', '-funroll-loops', '-shared',
-           '-fPIC', _SRC, '-o', _LIB]
+           '-fPIC'] + _SRC + ['-o', _LIB]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -34,7 +34,8 @@ def _load():
         from ..utils import env
         path = env.native_lib_path or _LIB
         if not os.path.exists(path) or (
-                path == _LIB and os.path.getmtime(_SRC) > os.path.getmtime(path)):
+                path == _LIB and any(os.path.getmtime(s) >
+                                     os.path.getmtime(path) for s in _SRC)):
             _build()
         lib = ctypes.CDLL(path)
         i64 = ctypes.c_int64
@@ -53,8 +54,27 @@ def _load():
         lib.ldlt_factor_nnz.argtypes = [ctypes.c_void_p]
         lib.ldlt_perturbed.restype = i64
         lib.ldlt_perturbed.argtypes = [ctypes.c_void_p]
+        lib.amd_order.restype = i64
+        lib.amd_order.argtypes = [i64, p64, p64, p64]
         _lib = lib
         return lib
+
+
+def amd_ordering(a):
+    """Fill-reducing AMD permutation of a symmetric scipy sparse matrix
+    (native amd.cpp)."""
+    import scipy.sparse as scs
+    lib = _load()
+    a = scs.csc_matrix(a)
+    n = a.shape[0]
+    ap = a.indptr.astype(np.int64)
+    ai = a.indices.astype(np.int64)
+    perm = np.empty(n, dtype=np.int64)
+    status = lib.amd_order(ctypes.c_int64(n), _ptr64(ap), _ptr64(ai),
+                           _ptr64(perm))
+    if status != 0:
+        raise RuntimeError('amd_order failed with status %d' % status)
+    return perm
 
 
 def native_available():
@@ -82,9 +102,8 @@ class SparseLDLT:
     with block RHS, ``inertia`` ~ iparm[21..22].
     """
 
-    def __init__(self, a, pivot_rel_eps=1e-14):
+    def __init__(self, a, pivot_rel_eps=1e-14, ordering='amd'):
         import scipy.sparse as scs
-        from scipy.sparse.csgraph import reverse_cuthill_mckee
 
         a = scs.csr_matrix(a)
         n = a.shape[0]
@@ -92,8 +111,14 @@ class SparseLDLT:
             raise ValueError('matrix must be square')
         self.n = n
         self._lib = _load()
-        perm = np.asarray(reverse_cuthill_mckee(a, symmetric_mode=True),
-                          dtype=np.int64)
+        if ordering == 'amd':
+            perm = amd_ordering(a)
+        elif ordering == 'rcm':
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+            perm = np.asarray(reverse_cuthill_mckee(a, symmetric_mode=True),
+                              dtype=np.int64)
+        else:  # 'natural'
+            perm = np.arange(n, dtype=np.int64)
         self.perm = perm
         self.iperm = np.empty_like(perm)
         self.iperm[perm] = np.arange(n, dtype=np.int64)
