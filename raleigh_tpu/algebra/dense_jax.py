@@ -229,8 +229,14 @@ def _k_read(arr, f, k, B):
 
 
 def _padq(q, Bi, Bo, dtype):
-    """Zero-pad a host coefficient matrix to (Bi, Bo) in the storage
-    dtype (real coefficients are cast onto complex storage)."""
+    """Zero-pad a coefficient matrix to (Bi, Bo) in the storage dtype.
+    Device arrays (e.g. a kept ``dot`` result, already bucket-padded) stay
+    on device."""
+    if isinstance(q, jax.Array):
+        if q.shape == (Bi, Bo):
+            return q.astype(dtype)
+        out = jnp.zeros((Bi, Bo), dtype=dtype)
+        return lax.dynamic_update_slice(out, q.astype(dtype), (0, 0))
     q = np.asarray(q)
     out = np.zeros((Bi, Bo), dtype=dtype)
     out[:q.shape[0], :q.shape[1]] = q
@@ -238,10 +244,89 @@ def _padq(q, Bi, Bo, dtype):
 
 
 def _padv(v, B, dtype):
+    if isinstance(v, jax.Array):
+        v = v.reshape(-1).astype(dtype)
+        if v.shape[0] == B:
+            return v
+        if v.shape[0] > B:
+            return v[:B]
+        return jnp.concatenate((v, jnp.zeros((B - v.shape[0],), dtype)))
     v = np.asarray(v).reshape(-1)
     out = np.zeros((B,), dtype=dtype)
-    out[:v.shape[0]] = v[:B] if v.shape[0] > B else v
+    out[:min(v.shape[0], B)] = v[:B]
     return jnp.asarray(out)
+
+
+# ---------------------------------------------------------------------------
+# module-level helpers the core solver uses to batch device round-trips
+# ---------------------------------------------------------------------------
+
+def fetch(*arrays):
+    """One batched device->host transfer for several small results."""
+    return tuple(np.asarray(x) for x in jax.device_get(list(arrays)))
+
+
+def stage_coeff(a, rows=None, cols=None):
+    """Upload a host coefficient matrix once, bucket-padded, for repeated
+    device-side combine() use."""
+    a = np.asarray(a)
+    r = bucket(rows if rows is not None else a.shape[0])
+    c = bucket(cols if cols is not None else a.shape[1])
+    out = np.zeros((r, c), dtype=a.dtype)
+    out[:a.shape[0], :a.shape[1]] = a
+    return jnp.asarray(out)
+
+
+@jax.jit
+def _k_combine(a, b):
+    return jnp.matmul(a, b, preferred_element_type=b.dtype)
+
+
+def combine(a, b):
+    """Small-matrix product on device; ``a`` may be a host matrix (padded
+    and uploaded) or a staged/kept device array."""
+    if not isinstance(a, jax.Array):
+        a = stage_coeff(a, cols=b.shape[0])
+    if a.shape[1] != b.shape[0]:
+        a2 = jnp.zeros((a.shape[0], b.shape[0]), dtype=a.dtype)
+        a = lax.dynamic_update_slice(
+            a2, a[:, :min(a.shape[1], b.shape[0])], (0, 0))
+    return _k_combine(a, b.astype(a.dtype))
+
+
+def rootabs(a):
+    if isinstance(a, jax.Array):
+        return _k_rootabs(a)
+    return np.sqrt(np.abs(np.asarray(a).real))
+
+
+@jax.jit
+def _k_rootabs(a):
+    return jnp.sqrt(jnp.abs(a.real))
+
+
+def conjugation_beta(zay, zby, lmd_y, lmdz, sy, sz, dtype):
+    """Jacobi-conjugation coefficients, fully on device when the Gram
+    blocks were kept there (reference core/solver.py:1331-1347).  Inputs
+    may be bucket-padded with zeros; padded entries come out as exact
+    zeros via the final isfinite sweep."""
+    Bz, By = zay.shape
+    lmd_y = _padv(np.asarray(lmd_y, dtype=np.float32), By, np.float32)
+    lmdz_p = _padv(np.asarray(lmdz, dtype=np.float32), Bz, np.float32)
+    return _k_beta(jnp.asarray(zay), jnp.asarray(zby), lmd_y, lmdz_p,
+                   jnp.asarray(sy), jnp.asarray(sz)).astype(dtype)
+
+
+@jax.jit
+def _k_beta(zay, zby, lmd_y, lmdz, sy, sz):
+    num = zay - zby * lmd_y[None, :].astype(zby.dtype)
+    den = (lmdz[:, None] - lmd_y[None, :]).astype(zay.real.dtype)
+    syr = jnp.sqrt(jnp.abs(sy.real))
+    szr = jnp.sqrt(jnp.abs(sz.real))
+    ratio = syr[None, :] / jnp.where(szr[:, None] == 0, 1, szr[:, None])
+    guard = jnp.abs(num) >= 100 * ratio * jnp.abs(den)
+    beta = jnp.where(guard, jnp.zeros_like(num), num / den)
+    return jnp.where(jnp.isfinite(beta), beta, 0)
 
 
 class Vectors:
@@ -430,22 +515,23 @@ class Vectors:
         coef = _padv(sv, B, dt)
         self._array = _k_scale(self._array, f, k, B, coef, multiply)
 
-    def dots(self, other, transp=False):
+    def dots(self, other, transp=False, keep=False):
         k = self.nvec()
         B = bucket(k)
         if transp:
             r = _k_dots_t(self._array, self._sel[0],
                           other._array, other._sel[0], k, B)
-            return np.asarray(r)
+            return r if keep else np.asarray(r)
         r = _k_dots(self._array, self._sel[0],
                     other._array, other._sel[0], k, B)
-        return np.asarray(r)[:k]
+        # kept results stay bucket-padded on device (zeros beyond k)
+        return r if keep else np.asarray(r)[:k]
 
-    def dot(self, other):
+    def dot(self, other, keep=False):
         ka, kb = self.nvec(), other.nvec()
         r = _k_gram(self._array, self._sel[0], ka, bucket(ka),
                     other._array, other._sel[0], kb, bucket(kb))
-        return np.asarray(r)[:kb, :ka]
+        return r if keep else np.asarray(r)[:kb, :ka]
 
     def multiply(self, q, output):
         assert output.nvec() == q.shape[1]

@@ -143,13 +143,13 @@ class Vectors:
             safe = np.where(col == 0, 1, col)
             self.data()[:, :] /= safe
 
-    def dots(self, other, transp=False):
+    def dots(self, other, transp=False, keep=False):
         if transp:
             # per-component dot products across the block: shape (n,)
             return np.einsum('ij,ij->j', _cj(other.data()), self.data())
         return np.einsum('ij,ij->i', _cj(other.data()), self.data())
 
-    def dot(self, other):
+    def dot(self, other, keep=False):
         # Gram block: rows indexed by other's vectors, cols by self's
         return _cj(other.data()) @ self.data().T
 
@@ -231,6 +231,48 @@ class Matrix:
         if dim is None:
             dim = self._data.shape[1]
         return Vectors(dim, nv, self.data_type())
+
+
+# ---------------------------------------------------------------------------
+# module-level helpers the core solver uses to batch backend round-trips;
+# on the host backend they are trivial
+# ---------------------------------------------------------------------------
+
+def fetch(*arrays):
+    """Materialize backend-native small arrays on the host (no-op here)."""
+    return tuple(np.asarray(a) for a in arrays)
+
+
+def stage_coeff(a, rows=None, cols=None):
+    """Prepare a host coefficient matrix for repeated combine() use."""
+    return np.asarray(a)
+
+
+def combine(a, b):
+    """Small-matrix product in the backend's native space."""
+    return np.dot(a, b)
+
+
+def rootabs(a):
+    return np.sqrt(np.abs(np.asarray(a).real))
+
+
+def conjugation_beta(zay, zby, lmd_y, lmdz, sy, sz, dtype):
+    """Jacobi-conjugation coefficients with the overflow guard
+    (reference core/solver.py:1331-1347)."""
+    zay = np.asarray(zay)
+    nz, ny = zay.shape
+    lmd_y = np.asarray(lmd_y)[:ny]
+    lmdz = np.asarray(lmdz)[:nz]
+    num = zay - np.asarray(zby) * lmd_y[None, :]
+    den = lmdz[:, None] - lmd_y[None, :]
+    sy = np.sqrt(np.abs(np.asarray(sy).real))[:ny]
+    sz = np.sqrt(np.abs(np.asarray(sz).real))[:nz]
+    ratio = sy[None, :] / np.where(sz[:, None] == 0, 1, sz[:, None])
+    with np.errstate(divide='ignore', invalid='ignore'):
+        beta = np.where(np.abs(num) >= 100 * ratio * np.abs(den),
+                        np.zeros_like(num), num / den)
+    return np.where(np.isfinite(beta), beta, 0.0).astype(dtype)
 
 
 def _hadamard_like_fill(a):

@@ -34,12 +34,25 @@ Capability parity notes (checked against the reference):
 """
 
 import math
+import sys
 
 import numpy as np
 import scipy.linalg as sla
 
 from .dense_small import (adj, cj, re, col_norms, congruence_inv,
                           pivoted_cholesky, default_block_size)
+
+
+def _backend_helpers(vector):
+    """Module-level helper functions of the block-vector backend (fetch,
+    combine, stage_coeff, rootabs, conjugation_beta) used to batch device
+    round-trips; falls back to the host helpers for third-party backends
+    implementing only the plain contract."""
+    be = sys.modules.get(type(vector).__module__)
+    if be is not None and hasattr(be, 'fetch') and hasattr(be, 'combine'):
+        return be
+    from ..algebra import dense_numpy
+    return dense_numpy
 
 # length of the per-vector eigenvalue-decrement history ring buffer
 HISTORY = 100
@@ -462,13 +475,16 @@ class Solver:
             self.eigenvectors_im = BXc
         else:
             BXc = Xc
+        be = _backend_helpers(vector)
         Gci = None
+        Gci_k = None   # staged (device-resident) copy for combine()
         Gc = None
         if nc > 0:
             Gc = BXc.dot(Xc)
             # approximate inverse of the constraint Gram matrix: adequate
             # while off-diagonal entries stay below sqrt(eps)
             Gci = 2 * np.identity(nc, dtype=data_type) - Gc
+            Gci_k = be.stage_coeff(Gci)
 
         leftX = left_block_size
         rightX = block_size - leftX
@@ -557,11 +573,10 @@ class Solver:
             if verb > 0:
                 print('------------- iteration %d' % self.iteration)
 
-            if pro:
-                XAX = AX.dot(BX)
-            else:
-                XAX = AX.dot(X)
-            XBX = BX.dot(X)
+            XAX, XBX = be.fetch(AX.dot(BX if pro else X, keep=True),
+                                BX.dot(X, keep=True))
+            XAX = XAX[:nx, :nx]
+            XBX = XBX[:nx, :nx]
             new_lmd = re(XAX.diagonal() / XBX.diagonal())
 
             # Ritz-quality check: restart on lost orthonormality/accuracy
@@ -628,10 +643,8 @@ class Solver:
                 W.add(X, -lmd[ix:ix + nx])
 
             if Xc.nvec() > 0:
-                if pro:
-                    Qc = np.dot(Gci, W.dot(BXc))
-                else:
-                    Qc = np.dot(Gci, W.dot(Xc))
+                Qc = be.combine(Gci_k,
+                                W.dot(BXc if pro else Xc, keep=True))
                 if gen:
                     W.add(BXc, -1.0, Qc)
                 else:
@@ -721,6 +734,7 @@ class Solver:
                     print('Gram error: %e'
                           % np.linalg.norm(Gc - np.identity(ncon)))
                 Gci = 2 * np.identity(ncon, dtype=data_type) - Gc
+                Gci_k = be.stage_coeff(Gci)
 
             self.lcon += lcon
             self.rcon += rcon
@@ -772,23 +786,16 @@ class Solver:
 
             if nz > 0:
                 # Jacobi conjugation: B-orthogonalize new directions against
-                # previous ones using eigenvalue differences as denominators
-                if pro:
-                    ZAY = W.dot(AZ)
-                else:
-                    ZAY = Y.dot(AZ)
-                ZBY = Y.dot(Z) if std else Y.dot(BZ)
-                Num = ZAY - ZBY * lmd[iy:iy + ny][None, :]
+                # previous ones using eigenvalue differences as denominators;
+                # the coefficient matrix is formed in backend-native space
+                # (on device) — no host round-trip
+                zay_k = (W if pro else Y).dot(AZ, keep=True)
+                zby_k = Y.dot(Z if std else BZ, keep=True)
                 ny = Y.nvec()
-                Den = np.asarray(lmdz)[:, None] - lmd[iy:iy + ny][None, :]
-                sy = np.sqrt(np.abs(Y.dots(Y).real))
-                sz = np.sqrt(np.abs(Z.dots(Z).real))
-                ratio = sy[None, :] / sz[:, None]
-                with np.errstate(divide='ignore', invalid='ignore'):
-                    Beta = np.where(
-                        np.abs(Num) >= 100 * ratio * np.abs(Den),
-                        np.zeros_like(Num), Num / Den)
-                Beta = np.where(np.isfinite(Beta), Beta, 0.0).astype(data_type)
+                Beta = be.conjugation_beta(zay_k, zby_k, lmd[iy:iy + ny],
+                                           np.asarray(lmdz),
+                                           Y.dots(Y, keep=True),
+                                           Z.dots(Z, keep=True), data_type)
                 AZ.select(ny)
                 Y.add(Z, -1.0, Beta)
                 if pro:
@@ -799,37 +806,42 @@ class Solver:
                 BY.select(ny)
                 W.copy(BY)
 
-            Qxy = Y.dot(BX)
+            Qxy = Y.dot(BX, keep=True)
             Y.add(X, -1.0, Qxy)
             if pro:
                 BY.add(BX, -1.0, Qxy)
 
             if Xc.nvec() > 0:
-                Qc = np.dot(Gci, Y.dot(BXc))
+                Qc = be.combine(Gci_k, Y.dot(BXc, keep=True))
                 Y.add(Xc, -1.0, Qc)
                 if pro:
                     BY.add(BXc, -1.0, Qc)
 
             # (B-)Gram matrix of (X, Y)
             if std:
-                s = np.sqrt(np.abs(Y.dots(Y).real))
+                s = be.rootabs(Y.dots(Y, keep=True))
                 Y.scale(s)
                 if nx > 0:
-                    XBY = Y.dot(X)
-                YBY = Y.dot(Y)
+                    xby_k = Y.dot(X, keep=True)
+                yby_k = Y.dot(Y, keep=True)
             else:
                 BY.select(Y.nvec())
                 if not pro:
                     B(Y, BY)
-                s = np.sqrt(np.abs(BY.dots(Y).real))
+                s = be.rootabs(BY.dots(Y, keep=True))
                 Y.scale(s)
                 BY.scale(s)
                 if nx > 0:
-                    XBY = BY.dot(X)
-                YBY = BY.dot(Y)
+                    xby_k = BY.dot(X, keep=True)
+                yby_k = BY.dot(Y, keep=True)
+            nyc = Y.nvec()
             if nx > 0:
+                XBY, YBY = be.fetch(xby_k, yby_k)
+                XBY = XBY[:nx, :nyc]
+                YBY = YBY[:nyc, :nyc]
                 GB = np.block([[XBX, XBY], [adj(XBY), YBY]])
             else:
+                YBY = be.fetch(yby_k)[0][:nyc, :nyc]
                 GB = YBY
 
             # drop linearly dependent search directions
@@ -861,17 +873,20 @@ class Solver:
             if pro:
                 A(BY, AY)
                 if nx > 0:
-                    XAY = AY.dot(BX)
-                YAY = AY.dot(BY)
+                    xay_k = AY.dot(BX, keep=True)
+                yay_k = AY.dot(BY, keep=True)
             else:
                 A(Y, AY)
                 if nx > 0:
-                    XAY = AY.dot(X)
-                YAY = AY.dot(Y)
+                    xay_k = AY.dot(X, keep=True)
+                yay_k = AY.dot(Y, keep=True)
             if nx > 0:
+                XAY, YAY = be.fetch(xay_k, yay_k)
+                XAY = XAY[:nx, :ny]
+                YAY = YAY[:ny, :ny]
                 GA = np.block([[XAX, XAY], [adj(XAY), YAY]])
             else:
-                GA = YAY
+                GA = be.fetch(yay_k)[0][:ny, :ny]
 
             # Rayleigh-Ritz in span(X, Y): G = U^-H GA U^-1, pre-rotated by
             # the eigenbasis of its Y-block for numerical stability, then a
@@ -1145,15 +1160,19 @@ class Solver:
         self.convergence_status = np.concatenate(
             (self.convergence_status, self.cnv[first:first + count]))
         X.select(count, first)
-        Gu = X.dot(BXc if not std else Xc) if ncon > 0 else None
+        be = _backend_helpers(X)
+        gu_k = X.dot(BXc if not std else Xc, keep=True) if ncon > 0 else None
         Xc.append(X)
         if not std:
             BX.select(count, first)
             BXc.append(BX)
-            Gl = BXc.dot(X) if ncon > 0 else None
+            gl_k = BXc.dot(X, keep=True) if ncon > 0 else None
         else:
-            Gl = Xc.dot(X) if ncon > 0 else None
+            gl_k = Xc.dot(X, keep=True) if ncon > 0 else None
         if ncon > 0:
+            Gu, Gl = be.fetch(gu_k, gl_k)
+            Gu = Gu[:ncon, :count]
+            Gl = Gl[:count, :ncon + count]
             Gc = np.concatenate((np.concatenate((Gc, Gu), axis=1), Gl))
         else:
             Gc = BXc.dot(Xc) if not std else Xc.dot(Xc)
