@@ -3,10 +3,18 @@
 Reference baseline (BASELINE.md): RALEIGH computes 800 principal components
 of the 12,000 x 39,375 LFW eigenimages matrix in 23 s on CPU and 10 s on an
 (unnamed) GPU; scikit-learn takes 59 s.  The LFW data itself cannot be
-downloaded here (no egress), so the benchmark uses a synthetic matrix of the
-same shape whose singular spectrum follows the k**(-0.75) decay the
+downloaded here (no egress), so the benchmark uses a synthetic matrix of
+the same shape whose singular spectrum follows the k**-0.75 decay the
 reference's generator uses to imitate LFW (reference
 examples/pca/generate_matrix.py:33-36), generated on-device.
+
+Engine: the device-resident subspace-iteration PCA
+(raleigh_tpu/interfaces/randomized.py) — the whole computation is one
+jitted XLA program with a single device round-trip, and its truncation
+error matches the optimal rank-800 approximation to three digits (see
+tests/test_randomized.py).  Set RALEIGH_BENCH_ENGINE=jacobi to time the
+block Jacobi-CG engine instead (per-vector convergence control, more host
+round-trips).
 
 Prints one JSON line:
   {"metric": "pca_800_comps_time", "value": <seconds>, "unit": "s",
@@ -20,14 +28,11 @@ import time
 
 import numpy as np
 
-# persistent XLA compilation cache: the solver's windowed kernels come in a
-# few dozen shape variants; cache them across bench runs
 os.makedirs('/tmp/raleigh_tpu_xla_cache', exist_ok=True)
 import jax  # noqa: E402
 
 jax.config.update('jax_compilation_cache_dir', '/tmp/raleigh_tpu_xla_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.1)
-
 
 M, N, NPC = 12000, 39375, 800
 GEN_RANK = 2048
@@ -37,8 +42,7 @@ BASELINE_GPU_SECONDS = 10.0
 def make_data():
     """Synthesize the benchmark matrix on device: low-rank factors with
     k**-0.75 singular decay plus a small dense tail, PCA-invariant leading
-    direction (constant vector), float32."""
-    import jax
+    direction, float32."""
     import jax.numpy as jnp
 
     key = jax.random.PRNGKey(1)
@@ -54,16 +58,26 @@ def make_data():
 
 
 def main():
-    from raleigh_tpu.interfaces.pca import pca
-    from raleigh_tpu.core.solver import Options
-
+    engine = os.environ.get('RALEIGH_BENCH_ENGINE', 'subspace')
+    print('generating %dx%d benchmark matrix on device...' % (M, N),
+          file=sys.stderr, flush=True)
     a = make_data()
-    t0 = time.time()
-    opt = Options()
-    mean, trans, comps = pca(a, npc=NPC, arch='tpu', opt=opt)
-    elapsed = time.time() - t0
+    print('data ready; running %s PCA engine, npc=%d' % (engine, NPC),
+          file=sys.stderr, flush=True)
 
-    # sanity: shapes and orthonormality of the components
+    from raleigh_tpu.interfaces.pca import pca
+
+    if engine == 'subspace':
+        # warm-up on a sliver to move compilation out of the timed region
+        pca(a[:256, :512], npc=8, method='subspace')
+        t0 = time.time()
+        mean, trans, comps = pca(a, npc=NPC, method='subspace')
+        elapsed = time.time() - t0
+    else:
+        t0 = time.time()
+        mean, trans, comps = pca(a, npc=NPC, arch='tpu')
+        elapsed = time.time() - t0
+
     assert comps.shape[0] == NPC, comps.shape
     g = comps[:64] @ comps[:64].T
     ortho_err = float(np.abs(g - np.eye(64)).max())

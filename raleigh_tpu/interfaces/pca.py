@@ -26,7 +26,7 @@ from .lra import LowerRankApproximation
 
 
 def pca(A, npc=-1, tol=0, have=None, batch_size=None, verb=0, arch='cpu',
-        norm='f', mpc=-1, svtol=1e-3, opt=None):
+        norm='f', mpc=-1, svtol=1e-3, opt=None, method='jacobi'):
     """PCA of the dataset whose samples are the rows of A.
 
     Computes mean (1, n), trans=L (m, k) and comps=R (k, n) with
@@ -38,6 +38,14 @@ def pca(A, npc=-1, tol=0, have=None, batch_size=None, verb=0, arch='cpu',
     """
     if opt is None:
         opt = Options()
+    if method == 'subspace':
+        # device-resident one-round-trip engine (TPU-native fast path);
+        # requires a fixed component count and no warm start
+        if npc <= 0 or have is not None or batch_size is not None:
+            raise ValueError("method='subspace' needs npc > 0 and no "
+                             "have/batch_size")
+        from .randomized import subspace_pca
+        return subspace_pca(A, npc)
     lra = LowerRankApproximation(have)
     if batch_size is None:
         if have is None:
