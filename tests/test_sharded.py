@@ -66,3 +66,23 @@ def test_sharded_spmm_matches():
     xs = jax.device_put(x, NamedSharding(mesh, P(None, None)))
     got = np.asarray(ell.matmat_t(xs))
     assert np.allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_halo_exchange_spmm():
+    """Row-partitioned ELL SpMM with RCM + neighbor halo exchange over an
+    8-device mesh matches SciPy."""
+    from raleigh_tpu.parallel.mesh import make_mesh
+    from raleigh_tpu.parallel.spmm_sharded import ShardedEllMatrix
+    from raleigh_tpu.examples.laplace import lap3d
+
+    a = lap3d(12, 12, 12, 1.0, 1.0, 1.0)
+    n = a.shape[0]
+    np.random.seed(1)
+    x = np.random.randn(n, 8).astype(np.float32)
+    mesh = make_mesh(8)
+    sm = ShardedEllMatrix(a, mesh)
+    assert sm.chunk == n // 8
+    assert 1 <= sm.halo <= sm.chunk
+    got = np.asarray(sm.matmat_t(x))
+    want = a @ x
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
