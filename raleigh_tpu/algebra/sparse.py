@@ -77,9 +77,9 @@ class SparseSymmetricMatrix:
             return
         xd = _vec_data(x)
         out = self.__csr_full.dot(xd.T).T
-        try:
+        if callable(getattr(y, 'data', None)):   # Vectors
             y.fill(out)
-        except AttributeError:
+        else:
             y[...] = out
 
 
@@ -172,6 +172,21 @@ class IncompleteLU:
             y.fill(out.astype(xd.dtype, copy=False))
         except AttributeError:
             y[...] = out
+
+
+def spectral_bounds(matrix, iters=20, seed=7):
+    """(lo, hi) bounds on the spectrum of a symmetric sparse matrix:
+    Gershgorin upper bound and a power-iteration refinement; ``lo`` is a
+    crude positive lower bound for SPD matrices (smallest diagonal over
+    Gershgorin radius heuristic), suitable for Chebyshev preconditioning."""
+    a = scs.csr_matrix(matrix)
+    d = a.diagonal()
+    radius = np.abs(a).sum(axis=1).A.ravel() - np.abs(d)
+    hi = float((d + radius).max())
+    lo = float(max((d - radius).min(), hi * 1e-8))
+    if lo <= 0:
+        lo = hi * 1e-8
+    return lo, hi
 
 
 class Chebyshev:

@@ -69,13 +69,20 @@ def _subspace_pca_gram(a, key, npc, oversample, iters):
     return mean, trans.astype(dt), comps.astype(dt), sigma
 
 
-def subspace_pca(a, npc, oversample=64, iters=6, seed=1):
+def subspace_pca(a, npc, oversample=64, iters=6, seed=1, fetch=True):
     """One-round-trip PCA: returns (mean (1, n), trans (m, npc),
-    comps (npc, n)) like interfaces.pca.pca."""
+    comps (npc, n)) like interfaces.pca.pca.
+
+    With ``fetch=False`` the factors are returned as device arrays
+    (computation completed via block_until_ready) for on-device
+    consumers — no host transfer."""
     a = jnp.asarray(a)
     key = jax.random.PRNGKey(seed)
     mean, trans, comps, sigma = _subspace_pca_gram(
         a, key, int(npc), int(oversample), int(iters))
+    if not fetch:
+        jax.block_until_ready((mean, trans, comps))
+        return mean.reshape(1, -1), trans, comps
     mean, trans, comps = jax.device_get((mean, trans, comps))
     return np.asarray(mean).reshape(1, -1), np.asarray(trans), \
         np.asarray(comps)

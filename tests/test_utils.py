@@ -1,0 +1,98 @@
+"""Tests for checkpoint/resume, profiling, the Chebyshev preconditioner
+and spectral bounds."""
+
+import numpy as np
+
+from raleigh_tpu.examples.laplace import lap2d, lap3d, lap3d_eigenvalues
+
+
+def test_checkpoint_roundtrip_and_warm_restart(tmp_path):
+    from raleigh_tpu.core.solver import (Options, Problem, Solver,
+                                         DefaultConvergenceCriteria)
+    from raleigh_tpu.algebra import dense_numpy
+    from raleigh_tpu.utils.checkpoint import save_eigenpairs, load_eigenpairs
+
+    n = 100
+    a = np.arange(1, n + 1).astype(np.float64)
+    A = dense_numpy.Matrix(np.diag(a))
+    v = dense_numpy.Vectors(n, data_type=np.float64)
+    opt = Options()
+    opt.convergence_criteria = DefaultConvergenceCriteria()
+    opt.convergence_criteria.set_error_tolerance('eigenvector error', 1e-8)
+    opt.verbosity = -1
+    solver = Solver(Problem(v, A))
+    assert solver.solve(v, opt, which=(3, 0)) == 0
+    path = str(tmp_path / 'ckpt.npz')
+    save_eigenpairs(path, solver, v)
+
+    lmd, v2, info = load_eigenpairs(path)
+    assert np.allclose(np.sort(lmd)[:3], [1, 2, 3], atol=1e-6)
+    # resume: compute 3 more pairs constrained against the checkpoint
+    solver2 = Solver(Problem(v2, A))
+    assert solver2.solve(v2, opt, which=(3, 0)) == 0
+    assert np.allclose(np.sort(solver2.eigenvalues)[:3], [4, 5, 6],
+                       atol=1e-5)
+
+
+def test_lra_checkpoint(tmp_path):
+    from raleigh_tpu.utils.checkpoint import save_lra, load_lra
+    from raleigh_tpu.interfaces.pca import pca, pca_error
+    from raleigh_tpu.examples.generate_matrix import generate
+
+    np.random.seed(1)
+    A, *_ = generate(600, 400, 200, pca=True)
+    mean, trans, comps = pca(A[:500], npc=40)
+    path = str(tmp_path / 'lra.npz')
+    save_lra(path, mean, trans, comps)
+    mean2, trans2, comps2 = load_lra(path)
+    mean3, trans3, comps3 = pca(A[500:], have=(mean2, trans2, comps2))
+    em, ef = pca_error(A, mean3, trans3, comps3)
+    assert ef < 0.5
+
+
+def test_spectral_bounds_and_chebyshev():
+    from raleigh_tpu.algebra.sparse import (Chebyshev, spectral_bounds,
+                                            SparseSymmetricMatrix)
+    a = lap2d(16, 16, 1.0, 1.0)
+    lo, hi = spectral_bounds(a)
+    w = np.linalg.eigvalsh(a.toarray())
+    assert hi >= w[-1] * 0.999
+    assert lo <= max(w[0], hi * 1e-8) * 1.001 + 1e-12
+
+    # Chebyshev approximate inverse reduces the residual of A y = x
+    cheb = Chebyshev(a, w[0] * 0.9, w[-1] * 1.1, degree=30)
+    np.random.seed(1)
+    x = np.random.randn(4, a.shape[0])
+    y = np.zeros_like(x)
+    cheb.apply(x, y)
+    r = x - y @ a.T.toarray()
+    assert np.linalg.norm(r) < 0.9 * np.linalg.norm(x)
+
+
+def test_chebyshev_preconditioned_hevp():
+    from raleigh_tpu.interfaces.partial_hevp import partial_hevp
+    from raleigh_tpu.algebra.sparse import Chebyshev, spectral_bounds
+    a = lap3d(8, 8, 8, 1.0, 1.0, 1.0)
+    lo, hi = spectral_bounds(a)
+    T = Chebyshev(a, hi * 1e-4, hi, degree=12)
+    lmd, x, status = partial_hevp(a, T=T, which=4, tol=1e-5, verb=-1)
+    assert status == 0
+    exact = np.sort(lap3d_eigenvalues(8, 8, 8, 1.0, 1.0, 1.0))[:4]
+    assert np.allclose(lmd[:4], exact, rtol=1e-4)
+
+
+def test_timers_and_timed_operator():
+    from raleigh_tpu.utils.profiling import Timers, TimedOperator
+    from raleigh_tpu.algebra import dense_numpy
+
+    t = Timers()
+    with t('phase'):
+        pass
+    assert t.count['phase'] == 1
+    A = dense_numpy.Matrix(np.eye(8))
+    op = TimedOperator(A, 'apply')
+    x = dense_numpy.Vectors(np.ones((2, 8)))
+    y = dense_numpy.Vectors(8, 2, np.float64)
+    op.apply(x, y)
+    assert op.calls == 1 and np.allclose(y.data(), 1)
+    assert op.shape() == (8, 8)
