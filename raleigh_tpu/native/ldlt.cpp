@@ -22,6 +22,10 @@
 #include <vector>
 #include <algorithm>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 extern "C" {
 
 struct LdltHandle {
@@ -153,38 +157,65 @@ int64_t ldlt_factorize(void* vh, double pivot_rel_eps) {
 
 // Solve (LDL^T) X = B for nrhs right-hand sides stored RHS-contiguous:
 // b[i*nrhs + r] is component i of RHS r. In-place capable (b == x).
-void ldlt_solve(void* vh, int64_t nrhs, const double* b, double* x) {
-    LdltHandle* h = static_cast<LdltHandle*>(vh);
+// The RHS-contiguous layout makes every inner loop a unit-stride fused
+// multiply-add over nrhs lanes (vectorized); with OpenMP available the
+// RHS block is additionally split across threads (the triangular sweeps
+// are sequential in rows but independent across right-hand sides).
+static void ldlt_solve_range(const LdltHandle* h, int64_t nrhs,
+                             int64_t r0, int64_t r1, double* x) {
     const int64_t n = h->n;
-    if (x != b) std::memcpy(x, b, sizeof(double) * n * nrhs);
-    const int64_t* Lp = h->Lp.data();
-    const int64_t* Li = h->Li.data();
-    const double* Lx = h->Lx.data();
-    const double* D = h->D.data();
+    const int64_t* __restrict Lp = h->Lp.data();
+    const int64_t* __restrict Li = h->Li.data();
+    const double* __restrict Lx = h->Lx.data();
+    const double* __restrict D = h->D.data();
     // forward: L y = b
     for (int64_t j = 0; j < n; ++j) {
-        const double* xj = x + j * nrhs;
+        const double* __restrict xj = x + j * nrhs;
         for (int64_t p = Lp[j]; p < Lp[j + 1]; ++p) {
-            double l = Lx[p];
-            double* xi = x + Li[p] * nrhs;
-            for (int64_t r = 0; r < nrhs; ++r) xi[r] -= l * xj[r];
+            const double l = Lx[p];
+            double* __restrict xi = x + Li[p] * nrhs;
+#pragma omp simd
+            for (int64_t r = r0; r < r1; ++r) xi[r] -= l * xj[r];
         }
     }
     // diagonal: D z = y
     for (int64_t j = 0; j < n; ++j) {
-        double di = 1.0 / D[j];
-        double* xj = x + j * nrhs;
-        for (int64_t r = 0; r < nrhs; ++r) xj[r] *= di;
+        const double di = 1.0 / D[j];
+        double* __restrict xj = x + j * nrhs;
+#pragma omp simd
+        for (int64_t r = r0; r < r1; ++r) xj[r] *= di;
     }
     // backward: L^T x = z
     for (int64_t j = n - 1; j >= 0; --j) {
-        double* xj = x + j * nrhs;
+        double* __restrict xj = x + j * nrhs;
         for (int64_t p = Lp[j]; p < Lp[j + 1]; ++p) {
-            double l = Lx[p];
-            const double* xi = x + Li[p] * nrhs;
-            for (int64_t r = 0; r < nrhs; ++r) xj[r] -= l * xi[r];
+            const double l = Lx[p];
+            const double* __restrict xi = x + Li[p] * nrhs;
+#pragma omp simd
+            for (int64_t r = r0; r < r1; ++r) xj[r] -= l * xi[r];
         }
     }
+}
+
+void ldlt_solve(void* vh, int64_t nrhs, const double* b, double* x) {
+    LdltHandle* h = static_cast<LdltHandle*>(vh);
+    const int64_t n = h->n;
+    if (x != b) std::memcpy(x, b, sizeof(double) * n * nrhs);
+#ifdef _OPENMP
+    if (nrhs >= 8) {
+#pragma omp parallel num_threads(2)
+        {
+            int t = omp_get_thread_num();
+            int nt = omp_get_num_threads();
+            int64_t chunk = (nrhs + nt - 1) / nt;
+            int64_t r0 = t * chunk;
+            int64_t r1 = std::min<int64_t>(nrhs, r0 + chunk);
+            if (r0 < r1) ldlt_solve_range(h, nrhs, r0, r1, x);
+        }
+        return;
+    }
+#endif
+    ldlt_solve_range(h, nrhs, 0, nrhs, x);
 }
 
 void ldlt_inertia(void* vh, int64_t* neg, int64_t* pos, int64_t* zero) {

@@ -14,16 +14,38 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = [os.path.join(_HERE, 'ldlt.cpp'), os.path.join(_HERE, 'amd.cpp')]
+_SRC = [os.path.join(_HERE, 'ldlt.cpp'), os.path.join(_HERE, 'amd.cpp'),
+        os.path.join(_HERE, 'mf.cpp')]
 _LIB = os.path.join(_HERE, 'libldlt.so')
 _lock = threading.Lock()
 _lib = None
+_blas_ready = False
+
+
+def _find_blas():
+    """Locate a BLAS shared library to power the multifrontal fronts:
+    SciPy's bundled OpenBLAS first (symbol prefix 'scipy_'), the system
+    BLAS otherwise."""
+    import glob
+    for pattern, prefix in [
+            (os.path.join(os.path.dirname(np.__file__), '..', 'scipy.libs',
+                          'libscipy_openblas*.so*'), 'scipy_'),
+            ('/usr/lib/x86_64-linux-gnu/libblas.so.3*', ''),
+    ]:
+        hits = sorted(glob.glob(pattern))
+        if hits:
+            return hits[0], prefix
+    return None, None
 
 
 def _build():
-    cmd = ['g++', '-O3', '-march=native', '-funroll-loops', '-shared',
-           '-fPIC'] + _SRC + ['-o', _LIB]
-    subprocess.run(cmd, check=True, capture_output=True)
+    cmd = ['g++', '-O3', '-march=native', '-funroll-loops', '-fopenmp',
+           '-shared', '-fPIC'] + _SRC + ['-o', _LIB]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        cmd.remove('-fopenmp')
+        subprocess.run(cmd, check=True, capture_output=True)
 
 
 def _load():
@@ -56,6 +78,24 @@ def _load():
         lib.ldlt_perturbed.argtypes = [ctypes.c_void_p]
         lib.amd_order.restype = i64
         lib.amd_order.argtypes = [i64, p64, p64, p64]
+        lib.ldltmf_create.restype = ctypes.c_void_p
+        lib.ldltmf_create.argtypes = [i64, p64, p64, pd]
+        lib.ldltmf_destroy.argtypes = [ctypes.c_void_p]
+        lib.ldltmf_factorize.restype = i64
+        lib.ldltmf_factorize.argtypes = [ctypes.c_void_p, ctypes.c_double]
+        lib.ldltmf_solve.argtypes = [ctypes.c_void_p, i64, pd, pd]
+        lib.ldltmf_inertia.argtypes = [ctypes.c_void_p, p64, p64, p64]
+        lib.ldltmf_factor_nnz.restype = i64
+        lib.ldltmf_factor_nnz.argtypes = [ctypes.c_void_p]
+        lib.ldltmf_perturbed.restype = i64
+        lib.ldltmf_perturbed.argtypes = [ctypes.c_void_p]
+        lib.ldltmf_set_blas.restype = i64
+        lib.ldltmf_set_blas.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        global _blas_ready
+        path, prefix = _find_blas()
+        if path is not None:
+            _blas_ready = lib.ldltmf_set_blas(
+                path.encode(), prefix.encode()) == 0
         _lib = lib
         return lib
 
@@ -102,7 +142,7 @@ class SparseLDLT:
     with block RHS, ``inertia`` ~ iparm[21..22].
     """
 
-    def __init__(self, a, pivot_rel_eps=1e-14, ordering='amd'):
+    def __init__(self, a, pivot_rel_eps=1e-14, ordering='amd', method='mf'):
         import scipy.sparse as scs
 
         a = scs.csr_matrix(a)
@@ -111,6 +151,10 @@ class SparseLDLT:
             raise ValueError('matrix must be square')
         self.n = n
         self._lib = _load()
+        if method == 'auto':
+            method = 'mf'
+        self.method = method
+        self._pre = 'ldltmf_' if method == 'mf' else 'ldlt_'
         if ordering == 'amd':
             perm = amd_ordering(a)
         elif ordering == 'rcm':
@@ -129,22 +173,25 @@ class SparseLDLT:
         self._ind = (upper_csc.indptr.astype(np.int64),
                      upper_csc.indices.astype(np.int64),
                      upper_csc.data.astype(np.float64))
-        self._h = self._lib.ldlt_create(
+        self._h = getattr(self._lib, self._pre + 'create')(
             ctypes.c_int64(n), _ptr64(self._ind[0]), _ptr64(self._ind[1]),
             _ptrd(self._ind[2]))
         self._pivot_rel_eps = pivot_rel_eps
         self.factor_nnz = 0
 
     def analyse(self):
+        if self.method == 'mf':
+            return 0   # symbolic analysis runs inside create/factorize
         return int(self._lib.ldlt_analyse(self._h))
 
     def factorize(self):
-        status = int(self._lib.ldlt_factorize(
+        status = int(getattr(self._lib, self._pre + 'factorize')(
             self._h, ctypes.c_double(self._pivot_rel_eps)))
         if status < 0:
             raise RuntimeError('LDL^T factorization failed at column %d'
                                % (-status - 1))
-        self.factor_nnz = int(self._lib.ldlt_factor_nnz(self._h))
+        self.factor_nnz = int(getattr(self._lib,
+                                      self._pre + 'factor_nnz')(self._h))
         return status
 
     def solve(self, b, x=None):
@@ -157,7 +204,7 @@ class SparseLDLT:
         nrhs, n = b.shape
         # permute and transpose to RHS-contiguous (n, nrhs) layout
         bp = np.ascontiguousarray(b[:, self.perm].T)
-        self._lib.ldlt_solve(self._h, ctypes.c_int64(nrhs), _ptrd(bp),
+        getattr(self._lib, self._pre + 'solve')(self._h, ctypes.c_int64(nrhs), _ptrd(bp),
                              _ptrd(bp))
         out = bp.T[:, self.iperm]
         if x is not None:
@@ -169,17 +216,17 @@ class SparseLDLT:
         neg = ctypes.c_int64()
         pos = ctypes.c_int64()
         zero = ctypes.c_int64()
-        self._lib.ldlt_inertia(self._h, ctypes.byref(neg), ctypes.byref(pos),
+        getattr(self._lib, self._pre + 'inertia')(self._h, ctypes.byref(neg), ctypes.byref(pos),
                                ctypes.byref(zero))
         return int(neg.value), int(pos.value)
 
     def perturbed_pivots(self):
-        return int(self._lib.ldlt_perturbed(self._h))
+        return int(getattr(self._lib, self._pre + 'perturbed')(self._h))
 
     def __del__(self):
         try:
             if getattr(self, '_h', None):
-                self._lib.ldlt_destroy(self._h)
+                getattr(self._lib, self._pre + 'destroy')(self._h)
                 self._h = None
         except Exception:
             pass

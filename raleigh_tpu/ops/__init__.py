@@ -1,0 +1,1 @@
+from .spmm import EllMatrix, BsrMatrix, device_sparse  # noqa: F401
