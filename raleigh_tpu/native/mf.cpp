@@ -244,7 +244,10 @@ void* ldltmf_create(int64_t n, const int64_t* Ap, const int64_t* Ai,
     // node otherwise yield width-3 fronts)
     std::vector<int64_t> parent2, lnz2;
     etree_upper_csc(n, h->Ap.data(), h->Ai.data(), parent2, lnz2);
-    const int64_t WCAP = 96;
+    // fundamental chains may grow to WCAP (wide separator supernodes are
+    // factored with a blocked in-front panel sweep, so width costs no
+    // extra update traffic); relaxed amalgamation stays narrow
+    const int64_t WCAP = 1024;
     const int64_t WRELAX = 64;
     h->snode_of_col.assign(n, -1);
     for (int64_t j = 0; j < n;) {
@@ -354,35 +357,78 @@ int64_t ldltmf_factorize(void* vh, double pivot_rel_eps) {
             }
         }
 
-        // partial LDL of the (w x w) pivot block (lower, column-major)
+        // blocked partial LDL of the (w x w) pivot block + panel: process
+        // PB-wide panels left to right; within each panel a scalar LDL of
+        // the diagonal block, a trsm for everything below it, and a dgemm
+        // rank-PB update of the remaining columns — wide separator
+        // supernodes run at BLAS3 speed instead of through the update
+        // stack.  After this sweep the subdiagonal part of F holds
+        // W = L * D (the trsm images), exactly as the one-shot path.
+        const int64_t PB = 64;
         s.D.assign(w, 0.0);
-        for (int64_t j = 0; j < w; ++j) {
-            double dj = F[(size_t)j * d + j];
-            if (std::fabs(dj) <= piv_floor) {
-                if (amax == 0.0) return -(s.c0 + j) - 1;
-                dj = (dj < 0 ? -1.0 : 1.0)
-                     * (piv_floor > 0 ? piv_floor : pivot_rel_eps);
-                h->n_perturbed++;
+        std::vector<double> ltmp;
+        for (int64_t p0 = 0; p0 < w; p0 += PB) {
+            const int64_t pw = std::min(PB, w - p0);
+            const int64_t p1 = p0 + pw;
+            // scalar LDL of the (pw x pw) diagonal block; normalize to
+            // unit lower within the block
+            for (int64_t j = p0; j < p1; ++j) {
+                double dj = F[(size_t)j * d + j];
+                if (std::fabs(dj) <= piv_floor) {
+                    if (amax == 0.0) return -(s.c0 + j) - 1;
+                    dj = (dj < 0 ? -1.0 : 1.0)
+                         * (piv_floor > 0 ? piv_floor : pivot_rel_eps);
+                    h->n_perturbed++;
+                }
+                s.D[j] = dj;
+                if (dj < 0) h->n_neg++; else if (dj > 0) h->n_pos++;
+                else h->n_zero++;
+                for (int64_t k = j + 1; k < p1; ++k) {
+                    double ljk = F[(size_t)j * d + k] / dj;
+                    double* colk = F.data() + (size_t)k * d;
+                    const double* colj = F.data() + (size_t)j * d;
+                    for (int64_t i = k; i < p1; ++i)
+                        colk[i] -= colj[i] * ljk;
+                }
+                for (int64_t i = j + 1; i < p1; ++i)
+                    F[(size_t)j * d + i] /= dj;
             }
-            s.D[j] = dj;
-            if (dj < 0) h->n_neg++; else if (dj > 0) h->n_pos++;
-            else h->n_zero++;
-            for (int64_t k = j + 1; k < w; ++k) {
-                double ljk = F[(size_t)j * d + k] / dj;   // L(k,j)
-                double* colk = F.data() + (size_t)k * d;
-                const double* colj = F.data() + (size_t)j * d;
-                for (int64_t i = k; i < w; ++i)
-                    colk[i] -= colj[i] * ljk;
+            // trsm: rows p1..d of the panel become W = L*D images
+            const int64_t below = d - p1;
+            if (below > 0) {
+                int m_i = (int)below, n_i = (int)pw, d_i = (int)d;
+                double one = 1.0;
+                xtrsm("R", "L", "T", "U", &m_i, &n_i, &one,
+                      F.data() + (size_t)p0 * d + p0, &d_i,
+                      F.data() + (size_t)p0 * d + p1, &d_i);
             }
-            for (int64_t i = j + 1; i < w; ++i)
-                F[(size_t)j * d + i] /= dj;
+            // rank-pw update of the remaining pivot columns [p1, w):
+            // F[p1:d, p1:w] -= W * Lpanel^T, Lpanel = W[p1:w] * D^-1
+            const int64_t rem = w - p1;
+            if (rem > 0 && below > 0) {
+                ltmp.assign((size_t)rem * pw, 0.0);
+                for (int64_t j = 0; j < pw; ++j) {
+                    double inv = 1.0 / s.D[p0 + j];
+                    const double* wcol = F.data() + (size_t)(p0 + j) * d + p1;
+                    for (int64_t i = 0; i < rem; ++i)
+                        ltmp[(size_t)j * rem + i] = wcol[i] * inv;
+                }
+                int m_i = (int)below, n_i = (int)rem, k_i = (int)pw;
+                int lda = (int)d, ldb = (int)rem, ldc = (int)d;
+                double mone = -1.0, one = 1.0;
+                xgemm("N", "T", &m_i, &n_i, &k_i, &mone,
+                      F.data() + (size_t)p0 * d + p1, &lda,
+                      ltmp.data(), &ldb, &one,
+                      F.data() + (size_t)p1 * d + p1, &ldc);
+            }
         }
-        // panel: W = F21 * L11^{-T} (rows w..d-1, trsm in place)
-        if (r > 0 && w > 0) {
-            int m_i = (int)r, n_i = (int)w, d_i = (int)d;
-            double one = 1.0;
-            xtrsm("R", "L", "T", "U", &m_i, &n_i, &one, F.data(), &d_i,
-                  F.data() + w, &d_i);
+        // normalize the subdiagonal pivot-block rows to unit lower
+        // (rows within [p1_j, w) of every panel hold W; convert to L)
+        for (int64_t j = 0; j < w; ++j) {
+            int64_t pend = std::min(((j / PB) + 1) * PB, w);
+            double inv = 1.0 / s.D[j];
+            double* col = F.data() + (size_t)j * d;
+            for (int64_t i = pend; i < w; ++i) col[i] *= inv;
         }
         // store factors; build L21 = W * D^{-1}
         s.L11.assign((size_t)w * w, 0.0);
@@ -456,24 +502,36 @@ void ldltmf_solve(void* vh, int64_t nrhs, const double* b, double* x) {
     }
     std::vector<double> t1, t2;
     int nr = (int)nrhs;
-    // forward: L z = y
+    dtrsm_t xtrsm2 = g_dtrsm;
+    // forward: L z = y  (gather y1 column-major, dtrsm, scatter; one gemm
+    // against the whole RHS block per supernode)
     for (auto& s : h->snodes) {
         int64_t w = s.c1 - s.c0, r = (int64_t)s.rows.size();
-        // z1 = L11^{-1} y1 (unit lower, column sweep over w)
-        for (int64_t j = 0; j < w; ++j)
-            for (int64_t i = j + 1; i < w; ++i) {
-                double l = s.L11[(size_t)j * w + i];
-                if (l == 0.0) continue;
-                for (int64_t rr = 0; rr < nrhs; ++rr)
-                    y[(size_t)rr * n + s.c0 + i]
-                        -= l * y[(size_t)rr * n + s.c0 + j];
-            }
-        if (r > 0 && w > 0) {
-            // gather y1 (w x nrhs), compute U = L21 * y1, scatter-subtract
-            t1.assign((size_t)w * nrhs, 0.0);
-            for (int64_t rr = 0; rr < nrhs; ++rr)
+        t1.assign((size_t)w * nrhs, 0.0);
+        for (int64_t rr = 0; rr < nrhs; ++rr)
+            for (int64_t j = 0; j < w; ++j)
+                t1[(size_t)rr * w + j] = y[(size_t)rr * n + s.c0 + j];
+        if (w > 1) {
+            if (xtrsm2) {
+                int m_i = (int)w, w_i = (int)w;
+                double one = 1.0;
+                xtrsm2("L", "L", "N", "U", &m_i, &nr, &one, s.L11.data(),
+                       &w_i, t1.data(), &m_i);
+            } else {
                 for (int64_t j = 0; j < w; ++j)
-                    t1[(size_t)rr * w + j] = y[(size_t)rr * n + s.c0 + j];
+                    for (int64_t i = j + 1; i < w; ++i) {
+                        double l = s.L11[(size_t)j * w + i];
+                        if (l == 0.0) continue;
+                        for (int64_t rr = 0; rr < nrhs; ++rr)
+                            t1[(size_t)rr * w + i]
+                                -= l * t1[(size_t)rr * w + j];
+                    }
+            }
+        }
+        for (int64_t rr = 0; rr < nrhs; ++rr)
+            for (int64_t j = 0; j < w; ++j)
+                y[(size_t)rr * n + s.c0 + j] = t1[(size_t)rr * w + j];
+        if (r > 0 && w > 0) {
             t2.assign((size_t)r * nrhs, 0.0);
             int m_i = (int)r, k_i = (int)w, ldb = (int)w, ldc = (int)r;
             int lda = (int)r;
@@ -499,31 +557,43 @@ void ldltmf_solve(void* vh, int64_t nrhs, const double* b, double* x) {
     for (auto it = h->snodes.rbegin(); it != h->snodes.rend(); ++it) {
         auto& s = *it;
         int64_t w = s.c1 - s.c0, r = (int64_t)s.rows.size();
+        t1.assign((size_t)w * nrhs, 0.0);
+        for (int64_t rr = 0; rr < nrhs; ++rr)
+            for (int64_t j = 0; j < w; ++j)
+                t1[(size_t)rr * w + j] = y[(size_t)rr * n + s.c0 + j];
         if (r > 0 && w > 0) {
             // y1 -= L21^T * y(rows)
             t2.assign((size_t)r * nrhs, 0.0);
             for (int64_t rr = 0; rr < nrhs; ++rr)
                 for (int64_t i = 0; i < r; ++i)
                     t2[(size_t)rr * r + i] = y[(size_t)rr * n + s.rows[i]];
-            t1.assign((size_t)w * nrhs, 0.0);
             int m_i = (int)w, k_i = (int)r, lda = (int)r, ldb = (int)r;
             int ldc = (int)w;
-            double one = 1.0, zero = 0.0;
-            xgemm("T", "N", &m_i, &nr, &k_i, &one, s.L21.data(), &lda,
-                  t2.data(), &ldb, &zero, t1.data(), &ldc);
-            for (int64_t rr = 0; rr < nrhs; ++rr)
-                for (int64_t j = 0; j < w; ++j)
-                    y[(size_t)rr * n + s.c0 + j] -= t1[(size_t)rr * w + j];
+            double mone = -1.0, one = 1.0;
+            xgemm("T", "N", &m_i, &nr, &k_i, &mone, s.L21.data(), &lda,
+                  t2.data(), &ldb, &one, t1.data(), &ldc);
         }
-        // L11^T sweep
-        for (int64_t j = w - 1; j >= 0; --j)
-            for (int64_t i = j + 1; i < w; ++i) {
-                double l = s.L11[(size_t)j * w + i];
-                if (l == 0.0) continue;
-                for (int64_t rr = 0; rr < nrhs; ++rr)
-                    y[(size_t)rr * n + s.c0 + j]
-                        -= l * y[(size_t)rr * n + s.c0 + i];
+        // L11^T solve
+        if (w > 1) {
+            if (xtrsm2) {
+                int m_i = (int)w, w_i = (int)w;
+                double one = 1.0;
+                xtrsm2("L", "L", "T", "U", &m_i, &nr, &one, s.L11.data(),
+                       &w_i, t1.data(), &m_i);
+            } else {
+                for (int64_t j = w - 1; j >= 0; --j)
+                    for (int64_t i = j + 1; i < w; ++i) {
+                        double l = s.L11[(size_t)j * w + i];
+                        if (l == 0.0) continue;
+                        for (int64_t rr = 0; rr < nrhs; ++rr)
+                            t1[(size_t)rr * w + j]
+                                -= l * t1[(size_t)rr * w + i];
+                    }
             }
+        }
+        for (int64_t rr = 0; rr < nrhs; ++rr)
+            for (int64_t j = 0; j < w; ++j)
+                y[(size_t)rr * n + s.c0 + j] = t1[(size_t)rr * w + j];
     }
     for (int64_t i = 0; i < n; ++i) {
         int64_t ip = h->post[i];
