@@ -33,18 +33,21 @@ def _subspace_pca_gram(a, key, npc, oversample, iters):
     m, n = a.shape
     dt = a.dtype
     f32 = jnp.float32 if dt != jnp.float64 else jnp.float64
+    hi = jax.lax.Precision.HIGHEST
     mean = jnp.mean(a, axis=0)                       # (n,)
-    r = a @ mean                                     # (m,)
-    mu2 = jnp.dot(mean, mean)
-    # G = A A^T - r e^T - e r^T + mu2 e e^T  (never materializes As)
-    G = jnp.matmul(a, a.T, preferred_element_type=f32)
+    r = jnp.matmul(a, mean, precision=hi)            # (m,)
+    mu2 = jnp.dot(mean, mean, precision=hi)
+    # G = A A^T - r e^T - e r^T + mu2 e e^T  (never materializes As).
+    # HIGHEST precision throughout: the Gram route squares the spectrum,
+    # and bf16 operand truncation would bury the trailing sigma^2
+    G = jnp.matmul(a, a.T, preferred_element_type=f32, precision=hi)
     G = G - r[:, None] - r[None, :] + mu2
 
     l = min(npc + oversample, m)
     q = jax.random.normal(key, (m, l), dtype=f32)
 
     def body(_, q):
-        y = jnp.matmul(G, q, preferred_element_type=f32)
+        y = jnp.matmul(G, q, preferred_element_type=f32, precision=hi)
         # Householder QR re-orthonormalization: the Gram route squares the
         # (already squared) spectrum and overruns f32
         q, _ = jnp.linalg.qr(y)
@@ -52,16 +55,17 @@ def _subspace_pca_gram(a, key, npc, oversample, iters):
 
     q = jax.lax.fori_loop(0, iters, body, body(0, q))
     # Rayleigh-Ritz on the l-dimensional subspace
-    s = jnp.matmul(q.T, jnp.matmul(G, q, preferred_element_type=f32),
-                   preferred_element_type=f32)
+    s = jnp.matmul(q.T, jnp.matmul(G, q, preferred_element_type=f32,
+                                  precision=hi),
+                   preferred_element_type=f32, precision=hi)
     s = 0.5 * (s + s.T)
     lmd, w = jnp.linalg.eigh(s)                      # ascending
     lmd = lmd[::-1][:npc]
     w = w[:, ::-1][:, :npc]
-    u = jnp.matmul(q, w, preferred_element_type=f32)  # (m, npc) left vecs
+    u = jnp.matmul(q, w, preferred_element_type=f32, precision=hi)
     sigma = jnp.sqrt(jnp.maximum(lmd, 0.0))
     # right factors: comps = (As^T u / sigma)^T, again without As
-    atu = jnp.matmul(a.T, u, preferred_element_type=f32)  # (n, npc)
+    atu = jnp.matmul(a.T, u, preferred_element_type=f32, precision=hi)
     atu = atu - mean[:, None] * jnp.sum(u, axis=0)[None, :]
     inv = 1.0 / jnp.maximum(sigma, jnp.finfo(f32).tiny ** 0.5)
     comps = (atu * inv[None, :]).T                   # (npc, n)
