@@ -94,12 +94,9 @@ class SparseSymmetricSolver:
         self.__ldlt = None
         self.__n = None
         self.__sigma = 0
+        self.__complex = np.dtype(dtype).kind == 'c'
 
     def analyse(self, a, sigma=0, b=None):
-        if np.dtype(self.__dtype).kind == 'c':
-            raise NotImplementedError(
-                'complex sparse factorization not yet available in the '
-                'native LDL^T; use the preconditioned path')
         if sigma != 0:
             if b is None:
                 b = scs.eye(a.shape[0], dtype=a.dtype, format='csr')
@@ -107,7 +104,20 @@ class SparseSymmetricSolver:
         else:
             a_s = a
         from ..native.ldlt import SparseLDLT
-        self.__ldlt = SparseLDLT(a_s)
+        self.__complex = np.dtype(self.__dtype).kind == 'c'
+        if self.__complex:
+            # Hermitian A = Ar + i*Ai factors through its real symmetric
+            # embedding K = [[Ar, -Ai], [Ai, Ar]]: eigenvalues double, so
+            # inertia halves; solves embed [Re; Im] per right-hand side
+            a_s = scs.csr_matrix(a_s)
+            ar = scs.csr_matrix((a_s.data.real, a_s.indices, a_s.indptr),
+                                shape=a_s.shape)
+            ai = scs.csr_matrix((a_s.data.imag, a_s.indices, a_s.indptr),
+                                shape=a_s.shape)
+            k = scs.bmat([[ar, -ai], [ai, ar]], format='csr')
+            self.__ldlt = SparseLDLT(k)
+        else:
+            self.__ldlt = SparseLDLT(a_s)
         nnz_l = self.__ldlt.analyse()
         if verbosity.level > 0:
             print('LDL^T factor nnz: %d' % nnz_l)
@@ -123,7 +133,13 @@ class SparseSymmetricSolver:
 
     def solve(self, b, x):
         bd = _vec_data(b)
-        out = self.__ldlt.solve(np.asarray(bd, dtype=np.float64))
+        if self.__complex:
+            bc = np.asarray(bd, dtype=np.complex128)
+            be = np.concatenate((bc.real, bc.imag), axis=-1)
+            oe = self.__ldlt.solve(be)
+            out = oe[..., :self.__n] + 1j * oe[..., self.__n:]
+        else:
+            out = self.__ldlt.solve(np.asarray(bd, dtype=np.float64))
         if callable(getattr(x, 'data', None)):   # Vectors
             x.fill(out.astype(np.dtype(bd.dtype), copy=False))
         else:
@@ -133,7 +149,10 @@ class SparseSymmetricSolver:
         self.solve(b, x)
 
     def inertia(self):
-        return self.__ldlt.inertia()
+        neg, pos = self.__ldlt.inertia()
+        if self.__complex:
+            neg, pos = neg // 2, pos // 2
+        return neg, pos
 
     def size(self):
         return self.__n

@@ -127,3 +127,24 @@ def test_partial_hevp_buckling():
                                   which=3, tol=1e-6, verb=-1)
     assert status >= 0
     assert np.allclose(lmd[:3], w_desc[:3], rtol=1e-4)
+
+
+def test_partial_hevp_complex_hermitian():
+    """Complex Hermitian shift-invert via the real-symmetric embedding of
+    the native LDL^T (reference supports c/z through PARDISO,
+    mkl_wrap.py:137-196)."""
+    from raleigh_tpu.interfaces.partial_hevp import partial_hevp
+    n = 128
+    d = 1j * np.ones(n - 1)
+    a = scs.csr_matrix(np.diag(d, 1) - np.diag(d, -1)
+                       + np.diag(np.linspace(0, 1, n)))
+    w = np.linalg.eigvalsh(a.toarray())
+    sigma = 0.3
+    lmd, x, status = partial_hevp(a, sigma=sigma, which=4, tol=1e-6, verb=-1)
+    assert status >= 0
+    near = np.sort(np.abs(w - sigma))[:len(lmd)]
+    got = np.sort(np.abs(np.asarray(lmd) - sigma))
+    assert np.allclose(got, near, atol=1e-6)
+    # residual check
+    r = a @ x[:, :4] - x[:, :4] * lmd[None, :4]
+    assert np.linalg.norm(r) < 1e-4
