@@ -28,10 +28,10 @@ import time
 
 import numpy as np
 
-os.makedirs('/tmp/raleigh_tpu_xla_cache', exist_ok=True)
+os.makedirs('/root/repo/.xla_cache', exist_ok=True)
 import jax  # noqa: E402
 
-jax.config.update('jax_compilation_cache_dir', '/tmp/raleigh_tpu_xla_cache')
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.xla_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.1)
 
 M, N, NPC = 12000, 39375, 800
