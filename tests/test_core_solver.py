@@ -136,3 +136,64 @@ def test_dense_fallback_small_problem():
     assert status == 0
     lmd = np.sort(solver.eigenvalues)[:4]
     assert np.allclose(lmd, [1, 2, 3, 4], atol=1e-8)
+
+
+def test_status_iteration_limit():
+    """Status 1: iteration cap exceeded triggers the dense fallback in
+    solve() only when CG returns 1; direct cap returns status 1."""
+    dt = np.float64
+    v, evp, a = _setup(dense_numpy, dt, 'std')
+    solver = Solver(evp)
+    opt = _options(vtol=1e-14)
+    opt.max_iter = 2
+    opt.detect_stagnation = False
+    status = solver.solve(v, opt, which=(6, 0))
+    assert status == 1
+
+
+def test_max_quota_dense_fallback():
+    """max_quota exceeded: remaining pairs come from the dense RR fallback
+    (reference core/solver.py:1296-1298,496-585)."""
+    dt = np.float64
+    n = 40
+    v = dense_numpy.Vectors(n, data_type=dt)
+    A = dense_numpy.Matrix(np.diag(np.arange(1, n + 1).astype(dt)))
+    solver = Solver(Problem(v, A))
+    opt = _options()
+    opt.max_quota = 0.2
+    status = solver.solve(v, opt, which=(20, 0))
+    assert status == 0
+    assert v.nvec() >= 20
+    lmd = np.sort(solver.eigenvalues)
+    assert np.allclose(lmd[:20], np.arange(1, 21), atol=1e-6)
+
+
+def test_factorization_probe_aborts_on_singular(capsys):
+    """partial_hevp aborts with status -1 when the shifted matrix is
+    factorized too inaccurately (reference partial_hevp.py:154-160)."""
+    import scipy.sparse as scs
+    from raleigh_tpu.interfaces.partial_hevp import partial_hevp
+    n = 200
+    # exactly singular shifted matrix: sigma equals an eigenvalue of a
+    # diagonal matrix -> perturbed pivots make the solve error enormous
+    a = scs.diags(np.arange(n, dtype=np.float64), format='csr')
+    lmd, x, status = partial_hevp(a, sigma=5.0, which=2, tol=1e-6, verb=-1)
+    assert status == -1 and lmd is None
+
+
+def test_stopping_criteria_object():
+    """User stopping criteria terminate the iteration (status 0) when
+    satisfied (reference core/solver.py:1274-1276)."""
+    dt = np.float64
+    v, evp, a = _setup(dense_numpy, dt, 'std')
+    solver = Solver(evp)
+
+    class StopAfterFour:
+        def satisfied(self, s):
+            return s.rcon + s.lcon >= 4
+
+    opt = _options()
+    opt.stopping_criteria = StopAfterFour()
+    status = solver.solve(v, opt, which=(-1, 0))
+    assert status == 0
+    assert 4 <= v.nvec() <= 16
