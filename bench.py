@@ -80,9 +80,11 @@ def main():
 
         # warm-up at full shape: compile (persistently cached) out of the
         # timed region, as a production service would
-        _force(subspace_pca(a, NPC, fetch=False, seed=2))
+        _force(subspace_pca(a, NPC, oversample=192, iters=8,
+                            fetch=False, seed=2))
         t0 = time.time()
-        mean, trans, comps = subspace_pca(a, NPC, fetch=False)
+        mean, trans, comps = subspace_pca(a, NPC, oversample=192,
+                                          iters=8, fetch=False)
         _force((mean, trans, comps))
         elapsed = time.time() - t0
     else:
