@@ -197,3 +197,36 @@ def test_stopping_criteria_object():
     status = solver.solve(v, opt, which=(-1, 0))
     assert status == 0
     assert 4 <= v.nvec() <= 16
+
+
+def test_ritz_quality_restart_f32():
+    """In float32 with a tight tolerance the Ritz-quality check must kick
+    in (restart) without derailing convergence (reference
+    core/solver.py:854-920; detect_stagnation off = stability test mode
+    per Options docs)."""
+    dt = np.float32
+    n = 80
+    v = dense_numpy.Vectors(n, data_type=dt)
+    a = np.linspace(1.0, 5.0, n).astype(dt)
+    A = dense_numpy.Matrix(np.diag(a))
+    solver = Solver(Problem(v, A))
+    opt = _options(vtol=1e-6)
+    opt.detect_stagnation = False
+    opt.max_iter = 300
+    status = solver.solve(v, opt, which=(4, 0))
+    assert status in (0, 1)
+    lmd = np.sort(solver.eigenvalues)[:4]
+    assert np.allclose(lmd, np.sort(a)[:4], atol=1e-4)
+
+
+def test_verbose_output(capsys):
+    """Verbosity >= 2 prints the per-iterate convergence table
+    (reference core/solver.py:1051-1064)."""
+    dt = np.float64
+    v, evp, a = _setup(dense_numpy, dt, 'std')
+    solver = Solver(evp)
+    status = solver.solve(v, _options(verb=2), which=(2, 0))
+    out = capsys.readouterr().out
+    assert status == 0
+    assert 'iteration' in out and 'eigenvalue' in out
+    assert 'converged' in out
