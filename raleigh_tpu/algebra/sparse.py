@@ -104,11 +104,14 @@ class SparseSymmetricSolver:
         else:
             a_s = a
         from ..native.ldlt import SparseLDLT
+        from ..utils import env
         self.__complex = np.dtype(self.__dtype).kind == 'c'
-        if self.__complex:
-            # Hermitian A = Ar + i*Ai factors through its real symmetric
-            # embedding K = [[Ar, -Ai], [Ai, Ar]]: eigenvalues double, so
-            # inertia halves; solves embed [Re; Im] per right-hand side
+        self.__embedded = False
+        if self.__complex and env.complex_via_embedding:
+            # fallback route: Hermitian A = Ar + i*Ai factors through its
+            # real symmetric embedding K = [[Ar, -Ai], [Ai, Ar]]:
+            # eigenvalues double, so inertia halves; solves embed [Re; Im]
+            # per right-hand side.  Twice the size of the native LDL^H.
             a_s = scs.csr_matrix(a_s)
             ar = scs.csr_matrix((a_s.data.real, a_s.indices, a_s.indptr),
                                 shape=a_s.shape)
@@ -116,6 +119,11 @@ class SparseSymmetricSolver:
                                 shape=a_s.shape)
             k = scs.bmat([[ar, -ai], [ai, ar]], format='csr')
             self.__ldlt = SparseLDLT(k)
+            self.__embedded = True
+        elif self.__complex:
+            # native Hermitian LDL^H (zldltmf_* engine, real D -> inertia)
+            self.__ldlt = SparseLDLT(scs.csr_matrix(a_s,
+                                                    dtype=np.complex128))
         else:
             self.__ldlt = SparseLDLT(a_s)
         nnz_l = self.__ldlt.analyse()
@@ -133,11 +141,13 @@ class SparseSymmetricSolver:
 
     def solve(self, b, x):
         bd = _vec_data(b)
-        if self.__complex:
+        if self.__embedded:
             bc = np.asarray(bd, dtype=np.complex128)
             be = np.concatenate((bc.real, bc.imag), axis=-1)
             oe = self.__ldlt.solve(be)
             out = oe[..., :self.__n] + 1j * oe[..., self.__n:]
+        elif self.__complex:
+            out = self.__ldlt.solve(np.asarray(bd, dtype=np.complex128))
         else:
             out = self.__ldlt.solve(np.asarray(bd, dtype=np.float64))
         if callable(getattr(x, 'data', None)):   # Vectors
@@ -150,7 +160,7 @@ class SparseSymmetricSolver:
 
     def inertia(self):
         neg, pos = self.__ldlt.inertia()
-        if self.__complex:
+        if self.__embedded:
             neg, pos = neg // 2, pos // 2
         return neg, pos
 

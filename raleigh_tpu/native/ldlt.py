@@ -91,6 +91,19 @@ def _load():
         lib.ldltmf_perturbed.argtypes = [ctypes.c_void_p]
         lib.ldltmf_set_blas.restype = i64
         lib.ldltmf_set_blas.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        # complex Hermitian engine (LDL^H, real D); complex data crosses
+        # the boundary as interleaved float64 pairs
+        lib.zldltmf_create.restype = ctypes.c_void_p
+        lib.zldltmf_create.argtypes = [i64, p64, p64, pd]
+        lib.zldltmf_destroy.argtypes = [ctypes.c_void_p]
+        lib.zldltmf_factorize.restype = i64
+        lib.zldltmf_factorize.argtypes = [ctypes.c_void_p, ctypes.c_double]
+        lib.zldltmf_solve.argtypes = [ctypes.c_void_p, i64, pd, pd]
+        lib.zldltmf_inertia.argtypes = [ctypes.c_void_p, p64, p64, p64]
+        lib.zldltmf_factor_nnz.restype = i64
+        lib.zldltmf_factor_nnz.argtypes = [ctypes.c_void_p]
+        lib.zldltmf_perturbed.restype = i64
+        lib.zldltmf_perturbed.argtypes = [ctypes.c_void_p]
         global _blas_ready
         path, prefix = _find_blas()
         if path is not None:
@@ -153,8 +166,14 @@ class SparseLDLT:
         self._lib = _load()
         if method == 'auto':
             method = 'mf'
+        self.complex = a.dtype.kind == 'c'
+        if self.complex and method != 'mf':
+            method = 'mf'   # the Hermitian LDL^H lives in the mf engine only
         self.method = method
-        self._pre = 'ldltmf_' if method == 'mf' else 'ldlt_'
+        if self.complex:
+            self._pre = 'zldltmf_'
+        else:
+            self._pre = 'ldltmf_' if method == 'mf' else 'ldlt_'
         if ordering == 'amd':
             perm = amd_ordering(a)
         elif ordering == 'rcm':
@@ -170,12 +189,13 @@ class SparseLDLT:
         # upper-tri CSC == lower-tri CSR of the permuted matrix
         upper_csc = scs.triu(ap, format='csc')
         upper_csc.sort_indices()
+        scalar = np.complex128 if self.complex else np.float64
+        data = np.ascontiguousarray(upper_csc.data.astype(scalar))
         self._ind = (upper_csc.indptr.astype(np.int64),
-                     upper_csc.indices.astype(np.int64),
-                     upper_csc.data.astype(np.float64))
+                     upper_csc.indices.astype(np.int64), data)
         self._h = getattr(self._lib, self._pre + 'create')(
             ctypes.c_int64(n), _ptr64(self._ind[0]), _ptr64(self._ind[1]),
-            _ptrd(self._ind[2]))
+            _ptrd(self._ind[2].view(np.float64)))
         self._pivot_rel_eps = pivot_rel_eps
         self.factor_nnz = 0
 
@@ -197,15 +217,17 @@ class SparseLDLT:
     def solve(self, b, x=None):
         """Solve A x = b; ``b`` is (nrhs, n) (rows are right-hand sides) or
         (n,).  Returns x of the same shape."""
-        b = np.asarray(b, dtype=np.float64)
+        scalar = np.complex128 if self.complex else np.float64
+        b = np.asarray(b, dtype=scalar)
         one_d = b.ndim == 1
         if one_d:
             b = b.reshape(1, -1)
         nrhs, n = b.shape
         # permute and transpose to RHS-contiguous (n, nrhs) layout
         bp = np.ascontiguousarray(b[:, self.perm].T)
-        getattr(self._lib, self._pre + 'solve')(self._h, ctypes.c_int64(nrhs), _ptrd(bp),
-                             _ptrd(bp))
+        getattr(self._lib, self._pre + 'solve')(
+            self._h, ctypes.c_int64(nrhs), _ptrd(bp.view(np.float64)),
+            _ptrd(bp.view(np.float64)))
         out = bp.T[:, self.iperm]
         if x is not None:
             x[...] = out.reshape(x.shape)

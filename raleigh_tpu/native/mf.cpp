@@ -1,4 +1,4 @@
-// Supernodal multifrontal LDL^T factorization with BLAS3 fronts.
+// Supernodal multifrontal LDL^T / LDL^H factorization with BLAS3 fronts.
 //
 // Second-generation numeric engine behind SparseSymmetricSolver (the
 // PARDISO replacement; reference raleigh/algebra/mkl_wrap.py:350-545):
@@ -7,26 +7,38 @@
 // flops run through dgemm/dtrsm (resolved at runtime from SciPy's bundled
 // OpenBLAS via dlopen; scalar kernels otherwise).
 //
+// The whole numeric engine is a template over the scalar type: T = double
+// gives the real symmetric LDL^T (exported as ldltmf_*), T =
+// std::complex<double> gives the Hermitian LDL^H with a real diagonal D
+// (exported as zldltmf_*) — inertia comes straight from sign(D), exactly
+// the property the reference extracts from PARDISO's iparm/diag probing
+// (mkl_wrap.py:491-545).  The only scalar-type-sensitive spots are (a)
+// conjugation when a relabeled entry flips triangles, (b) 'T' vs 'C' in
+// the trsm/gemm calls, and (c) D kept real.
+//
 // Pipeline: postorder the elimination tree, detect fundamental supernodes
 // (parent chain + equal column counts, width-capped), then for each
 // supernode in postorder: assemble its A columns and its children's
 // update matrices into a dense column-major front, partial-LDL the pivot
 // block (with PARDISO-style static pivot perturbation for shifted
-// indefinite systems), dtrsm the subdiagonal panel, dgemm the Schur
+// indefinite systems), trsm the subdiagonal panel, gemm the Schur
 // complement, and push it on the update stack for the parent.
 // Triangular solves are supernodal too: per supernode one trsm-like sweep
-// plus a dgemm against the block of right-hand sides.
+// plus a gemm against the block of right-hand sides.
 
 #include <cstdint>
 #include <cstring>
 #include <cmath>
 #include <cstdio>
+#include <complex>
 #include <string>
 #include <vector>
 #include <algorithm>
 #include <dlfcn.h>
 
 namespace {
+
+typedef std::complex<double> cplx;
 
 typedef void (*dgemm_t)(const char*, const char*, const int*, const int*,
                         const int*, const double*, const double*, const int*,
@@ -35,72 +47,152 @@ typedef void (*dgemm_t)(const char*, const char*, const int*, const int*,
 typedef void (*dtrsm_t)(const char*, const char*, const char*, const char*,
                         const int*, const int*, const double*, const double*,
                         const int*, double*, const int*);
+typedef void (*zgemm_t)(const char*, const char*, const int*, const int*,
+                        const int*, const cplx*, const cplx*, const int*,
+                        const cplx*, const int*, const cplx*, cplx*,
+                        const int*);
+typedef void (*ztrsm_t)(const char*, const char*, const char*, const char*,
+                        const int*, const int*, const cplx*, const cplx*,
+                        const int*, cplx*, const int*);
 
 dgemm_t g_dgemm = nullptr;
 dtrsm_t g_dtrsm = nullptr;
+zgemm_t g_zgemm = nullptr;
+ztrsm_t g_ztrsm = nullptr;
 
-void naive_dgemm(const char* ta, const char* tb, const int* m, const int* n,
-                 const int* k, const double* alpha, const double* a,
-                 const int* lda, const double* b, const int* ldb,
-                 const double* beta, double* c, const int* ldc) {
-    // only the variants this file uses: ('N','T') and ('T','N')
-    int M = *m, N = *n, K = *k;
-    double al = *alpha, be = *beta;
-    if (*ta == 'N' && *tb == 'T') {
-        for (int j = 0; j < N; ++j)
-            for (int i = 0; i < M; ++i) {
-                double s = 0;
-                for (int p = 0; p < K; ++p)
-                    s += a[i + (size_t)p * *lda] * b[j + (size_t)p * *ldb];
-                c[i + (size_t)j * *ldc] = be * c[i + (size_t)j * *ldc]
-                                          + al * s;
-            }
-    } else if (*ta == 'T' && *tb == 'N') {
-        for (int j = 0; j < N; ++j)
-            for (int i = 0; i < M; ++i) {
-                double s = 0;
-                for (int p = 0; p < K; ++p)
-                    s += a[p + (size_t)i * *lda] * b[p + (size_t)j * *ldb];
-                c[i + (size_t)j * *ldc] = be * c[i + (size_t)j * *ldc]
-                                          + al * s;
-            }
-    }
+inline double conj_of(double x) { return x; }
+inline cplx conj_of(const cplx& x) { return std::conj(x); }
+inline double real_of(double x) { return x; }
+inline double real_of(const cplx& x) { return x.real(); }
+inline double abs_of(double x) { return std::fabs(x); }
+inline double abs_of(const cplx& x) { return std::abs(x); }
+
+// op(A)(i,p) for the naive kernels: 'N', 'T' (transpose) or 'C'
+// (conjugate transpose)
+template <typename T>
+inline T op_at(char op, const T* a, int lda, int i, int p) {
+    if (op == 'N') return a[i + (size_t)p * lda];
+    T v = a[p + (size_t)i * lda];
+    return op == 'C' ? conj_of(v) : v;
 }
 
-void naive_dtrsm(const char* side, const char* uplo, const char* ta,
-                 const char* diag, const int* m, const int* n,
-                 const double* alpha, const double* a, const int* lda,
-                 double* b, const int* ldb) {
-    // only the variant used: side='R', uplo='L', ta='T', diag='U':
-    // B := B * inv(L^T) for unit lower L  ->  column sweep
+template <typename T>
+void naive_gemm(const char* ta, const char* tb, const int* m, const int* n,
+                const int* k, const T* alpha, const T* a, const int* lda,
+                const T* b, const int* ldb, const T* beta, T* c,
+                const int* ldc) {
+    int M = *m, N = *n, K = *k;
+    T al = *alpha, be = *beta;
+    for (int j = 0; j < N; ++j)
+        for (int i = 0; i < M; ++i) {
+            T s = T(0);
+            for (int p = 0; p < K; ++p)
+                s += op_at(*ta, a, *lda, i, p) * op_at(*tb, b, *ldb, p, j);
+            c[i + (size_t)j * *ldc] = be * c[i + (size_t)j * *ldc] + al * s;
+        }
+}
+
+// the trsm variants this file uses, all with unit lower-triangular L:
+//   side='R', ta='T'/'C':  B := B * inv(op(L))   (panel sweep)
+//   side='L', ta='N':      solve L X = B
+//   side='L', ta='T'/'C':  solve op(L) X = B
+template <typename T>
+void naive_trsm(const char* side, const char* uplo, const char* ta,
+                const char* diag, const int* m, const int* n, const T* alpha,
+                const T* a, const int* lda, T* b, const int* ldb) {
+    (void)uplo; (void)diag; (void)alpha;
     int M = *m, N = *n;
-    (void)side; (void)uplo; (void)ta; (void)diag; (void)alpha;
-    for (int j = 0; j < N; ++j) {
-        for (int p = 0; p < j; ++p) {
-            double l = a[j + (size_t)p * *lda];   // L(j,p)
-            for (int i = 0; i < M; ++i)
-                b[i + (size_t)j * *ldb] -= l * b[i + (size_t)p * *ldb];
+    if (*side == 'R') {
+        // B := B * inv(op(L));  op(L)(p,j) = L(j,p) (or conj) for p < j
+        for (int j = 0; j < N; ++j) {
+            for (int p = 0; p < j; ++p) {
+                T l = a[j + (size_t)p * *lda];       // L(j,p)
+                if (*ta == 'C') l = conj_of(l);
+                for (int i = 0; i < M; ++i)
+                    b[i + (size_t)j * *ldb] -= l * b[i + (size_t)p * *ldb];
+            }
+        }
+    } else if (*ta == 'N') {
+        // forward substitution, column-major B (M x N)
+        for (int rr = 0; rr < N; ++rr) {
+            T* col = b + (size_t)rr * *ldb;
+            for (int j = 0; j < M; ++j)
+                for (int i = j + 1; i < M; ++i)
+                    col[i] -= a[i + (size_t)j * *lda] * col[j];
+        }
+    } else {
+        // backward substitution with op(L)
+        for (int rr = 0; rr < N; ++rr) {
+            T* col = b + (size_t)rr * *ldb;
+            for (int j = M - 1; j >= 0; --j)
+                for (int i = j + 1; i < M; ++i) {
+                    T l = a[i + (size_t)j * *lda];
+                    if (*ta == 'C') l = conj_of(l);
+                    col[j] -= l * col[i];
+                }
         }
     }
 }
 
+template <typename T> struct Blas;
+
+template <> struct Blas<double> {
+    static constexpr char CT = 'T';   // (conjugate) transpose opcode
+    static void gemm(const char* ta, const char* tb, const int* m,
+                     const int* n, const int* k, const double* al,
+                     const double* a, const int* lda, const double* b,
+                     const int* ldb, const double* be, double* c,
+                     const int* ldc) {
+        if (g_dgemm) g_dgemm(ta, tb, m, n, k, al, a, lda, b, ldb, be, c, ldc);
+        else naive_gemm(ta, tb, m, n, k, al, a, lda, b, ldb, be, c, ldc);
+    }
+    static void trsm(const char* s, const char* u, const char* ta,
+                     const char* dg, const int* m, const int* n,
+                     const double* al, const double* a, const int* lda,
+                     double* b, const int* ldb) {
+        if (g_dtrsm) g_dtrsm(s, u, ta, dg, m, n, al, a, lda, b, ldb);
+        else naive_trsm(s, u, ta, dg, m, n, al, a, lda, b, ldb);
+    }
+};
+
+template <> struct Blas<cplx> {
+    static constexpr char CT = 'C';
+    static void gemm(const char* ta, const char* tb, const int* m,
+                     const int* n, const int* k, const cplx* al,
+                     const cplx* a, const int* lda, const cplx* b,
+                     const int* ldb, const cplx* be, cplx* c,
+                     const int* ldc) {
+        if (g_zgemm) g_zgemm(ta, tb, m, n, k, al, a, lda, b, ldb, be, c, ldc);
+        else naive_gemm(ta, tb, m, n, k, al, a, lda, b, ldb, be, c, ldc);
+    }
+    static void trsm(const char* s, const char* u, const char* ta,
+                     const char* dg, const int* m, const int* n,
+                     const cplx* al, const cplx* a, const int* lda,
+                     cplx* b, const int* ldb) {
+        if (g_ztrsm) g_ztrsm(s, u, ta, dg, m, n, al, a, lda, b, ldb);
+        else naive_trsm(s, u, ta, dg, m, n, al, a, lda, b, ldb);
+    }
+};
+
+template <typename T>
 struct Supernode {
     int64_t c0, c1;                  // column range [c0, c1)
     std::vector<int64_t> rows;       // rows strictly below the supernode
-    std::vector<double> L11;         // (w x w) column-major, unit lower + D
-    std::vector<double> L21;         // (r x w) column-major
-    std::vector<double> D;           // (w)
+    std::vector<T> L11;              // (w x w) column-major, unit lower
+    std::vector<T> L21;              // (r x w) column-major
+    std::vector<double> D;           // (w), real also in the Hermitian case
 };
 
+template <typename T>
 struct MfHandle {
     int64_t n = 0;
     std::vector<int64_t> Ap, Ai;     // relabeled upper CSC
-    std::vector<double> Ax;
+    std::vector<T> Ax;
     std::vector<int64_t> Lp_low, Li_low;   // relabeled lower CSC (pattern)
-    std::vector<double> Lx_low;
+    std::vector<T> Lx_low;
     std::vector<int64_t> post;       // postorder relabel: new = post_of[old]
     std::vector<int64_t> ipost;
-    std::vector<Supernode> snodes;
+    std::vector<Supernode<T>> snodes;
     std::vector<int64_t> snode_of_col;
     int64_t n_neg = 0, n_pos = 0, n_zero = 0, n_perturbed = 0;
     int64_t factor_nnz = 0;
@@ -128,27 +220,10 @@ void etree_upper_csc(int64_t n, const int64_t* Ap, const int64_t* Ai,
     }
 }
 
-}  // namespace
-
-extern "C" {
-
-int64_t ldltmf_set_blas(const char* path, const char* prefix) {
-    void* h = dlopen(path, RTLD_NOW | RTLD_LOCAL);
-    if (!h) return -1;
-    std::string pre = prefix ? prefix : "";
-    g_dgemm = (dgemm_t)dlsym(h, (pre + "dgemm_").c_str());
-    g_dtrsm = (dtrsm_t)dlsym(h, (pre + "dtrsm_").c_str());
-    if (!g_dgemm || !g_dtrsm) {
-        g_dgemm = nullptr;
-        g_dtrsm = nullptr;
-        return -2;
-    }
-    return 0;
-}
-
-void* ldltmf_create(int64_t n, const int64_t* Ap, const int64_t* Ai,
-                    const double* Ax) {
-    MfHandle* h = new MfHandle();
+template <typename T>
+MfHandle<T>* mf_create(int64_t n, const int64_t* Ap, const int64_t* Ai,
+                       const T* Ax) {
+    MfHandle<T>* h = new MfHandle<T>();
     h->n = n;
 
     // 1) elimination tree of the input, then its postorder
@@ -182,58 +257,72 @@ void* ldltmf_create(int64_t n, const int64_t* Ap, const int64_t* Ai,
         }
     }
 
-    // 2) relabel the matrix by the postorder (upper CSC of P A P^T)
+    // 2) relabel the matrix by the postorder (upper CSC of P A P^T);
+    // an entry whose (i, j) order flips under the relabeling moves to the
+    // other triangle and must be conjugated in the Hermitian case
     int64_t nnz = Ap[n];
     std::vector<int64_t> cnt(n + 1, 0);
     std::vector<int64_t> ri(nnz), ci(nnz);
+    std::vector<T> vx(nnz);
     for (int64_t j = 0; j < n; ++j)
         for (int64_t p = Ap[j]; p < Ap[j + 1]; ++p) {
             int64_t i2 = h->post[Ai[p]], j2 = h->post[j];
-            if (i2 > j2) std::swap(i2, j2);
+            T v = Ax[p];
+            if (i2 > j2) {
+                std::swap(i2, j2);
+                v = conj_of(v);
+            }
             ri[p] = i2;
             ci[p] = j2;
+            vx[p] = v;
             cnt[j2 + 1]++;
         }
     for (int64_t j = 0; j < n; ++j) cnt[j + 1] += cnt[j];
     h->Ap = cnt;
     h->Ai.assign(nnz, 0);
-    h->Ax.assign(nnz, 0.0);
+    h->Ax.assign(nnz, T(0));
     {
         std::vector<int64_t> next(h->Ap.begin(), h->Ap.end() - 1);
         for (int64_t p = 0; p < nnz; ++p) {
             int64_t q = next[ci[p]]++;
             h->Ai[q] = ri[p];
-            h->Ax[q] = Ax[p];
+            h->Ax[q] = vx[p];
         }
         // sort each column by row
         for (int64_t j = 0; j < n; ++j) {
             int64_t a = h->Ap[j], b = h->Ap[j + 1];
-            std::vector<std::pair<int64_t, double>> col;
+            std::vector<std::pair<int64_t, T>> col;
             col.reserve(b - a);
             for (int64_t p = a; p < b; ++p)
                 col.emplace_back(h->Ai[p], h->Ax[p]);
-            std::sort(col.begin(), col.end());
+            std::sort(col.begin(), col.end(),
+                      [](const std::pair<int64_t, T>& x,
+                         const std::pair<int64_t, T>& y) {
+                          return x.first < y.first;
+                      });
             for (int64_t p = a; p < b; ++p) {
                 h->Ai[p] = col[p - a].first;
                 h->Ax[p] = col[p - a].second;
             }
         }
     }
-    // lower CSC (= transpose of upper CSC) for per-column assembly
+    // lower CSC (= conjugate transpose of upper CSC) for per-column
+    // assembly: lower column i holds rows j >= i with value B[j, i] =
+    // conj(B[i, j])
     {
         std::vector<int64_t> c2(n + 1, 0);
         for (int64_t p = 0; p < nnz; ++p) c2[h->Ai[p] + 1]++;
         for (int64_t j = 0; j < n; ++j) c2[j + 1] += c2[j];
         h->Lp_low = c2;
         h->Li_low.assign(nnz, 0);
-        h->Lx_low.assign(nnz, 0.0);
+        h->Lx_low.assign(nnz, T(0));
         std::vector<int64_t> next(h->Lp_low.begin(), h->Lp_low.end() - 1);
         for (int64_t j = 0; j < n; ++j)
             for (int64_t p = h->Ap[j]; p < h->Ap[j + 1]; ++p) {
                 int64_t i = h->Ai[p];
                 int64_t q = next[i]++;
                 h->Li_low[q] = j;     // (row j of lower col i) -> j >= i
-                h->Lx_low[q] = h->Ax[p];
+                h->Lx_low[q] = (j == i) ? h->Ax[p] : conj_of(h->Ax[p]);
             }
     }
 
@@ -263,7 +352,7 @@ void* ldltmf_create(int64_t n, const int64_t* Ap, const int64_t* Ai,
             if (!(fundamental || relaxed)) break;
             ++w;
         }
-        Supernode s;
+        Supernode<T> s;
         s.c0 = c0;
         s.c1 = c0 + w;
         for (int64_t c = c0; c < s.c1; ++c)
@@ -274,21 +363,18 @@ void* ldltmf_create(int64_t n, const int64_t* Ap, const int64_t* Ai,
     return h;
 }
 
-void ldltmf_destroy(void* vh) { delete static_cast<MfHandle*>(vh); }
-
-int64_t ldltmf_factorize(void* vh, double pivot_rel_eps) {
-    MfHandle* h = static_cast<MfHandle*>(vh);
+template <typename T>
+int64_t mf_factorize(MfHandle<T>* h, double pivot_rel_eps) {
     const int64_t n = h->n;
-    dgemm_t xgemm = g_dgemm ? g_dgemm : naive_dgemm;
-    dtrsm_t xtrsm = g_dtrsm ? g_dtrsm : naive_dtrsm;
+    const char CT[2] = {Blas<T>::CT, 0};
 
     double amax = 0.0;
-    for (double v : h->Ax) amax = std::max(amax, std::fabs(v));
+    for (const T& v : h->Ax) amax = std::max(amax, abs_of(v));
     const double piv_floor = pivot_rel_eps * amax;
 
     struct Update {
         std::vector<int64_t> rows;
-        std::vector<double> m;       // (r x r) column-major, full
+        std::vector<T> m;            // (r x r) column-major, full
     };
     std::vector<Update> stack;
 
@@ -332,9 +418,9 @@ int64_t ldltmf_factorize(void* vh, double pivot_rel_eps) {
 
         // the front is held as a (d x w) column-major PANEL only; the
         // trailing (r x r) Schur block is produced straight into the
-        // update buffer by dgemm (beta=0) and children's F22 pieces are
+        // update buffer by gemm (beta=0) and children's F22 pieces are
         // scatter-added afterwards — no d x d buffer, no copy-out
-        std::vector<double> F((size_t)d * w, 0.0);
+        std::vector<T> F((size_t)d * w, T(0));
         // assemble A columns (lower part; columns are always in-supernode)
         for (int64_t c = s.c0; c < s.c1; ++c) {
             int64_t lc = loc[c];
@@ -350,8 +436,8 @@ int64_t ldltmf_factorize(void* vh, double pivot_rel_eps) {
             for (int64_t j = 0; j < rc; ++j) {
                 int64_t lj = loc[up.rows[j]];
                 if (lj >= w) break;   // rows sorted: rest is F22 territory
-                const double* src = up.m.data() + (size_t)j * rc;
-                double* dst = F.data() + (size_t)lj * d;
+                const T* src = up.m.data() + (size_t)j * rc;
+                T* dst = F.data() + (size_t)lj * d;
                 for (int64_t i = j; i < rc; ++i)
                     dst[loc[up.rows[i]]] += src[i];
             }
@@ -359,21 +445,22 @@ int64_t ldltmf_factorize(void* vh, double pivot_rel_eps) {
 
         // blocked partial LDL of the (w x w) pivot block + panel: process
         // PB-wide panels left to right; within each panel a scalar LDL of
-        // the diagonal block, a trsm for everything below it, and a dgemm
+        // the diagonal block, a trsm for everything below it, and a gemm
         // rank-PB update of the remaining columns — wide separator
         // supernodes run at BLAS3 speed instead of through the update
         // stack.  After this sweep the subdiagonal part of F holds
         // W = L * D (the trsm images), exactly as the one-shot path.
         const int64_t PB = 64;
         s.D.assign(w, 0.0);
-        std::vector<double> ltmp;
+        std::vector<T> ltmp;
         for (int64_t p0 = 0; p0 < w; p0 += PB) {
             const int64_t pw = std::min(PB, w - p0);
             const int64_t p1 = p0 + pw;
             // scalar LDL of the (pw x pw) diagonal block; normalize to
-            // unit lower within the block
+            // unit lower within the block.  Pivots are real (Hermitian
+            // diagonal); F(i,k) -= W(i,j) * conj(L(k,j))
             for (int64_t j = p0; j < p1; ++j) {
-                double dj = F[(size_t)j * d + j];
+                double dj = real_of(F[(size_t)j * d + j]);
                 if (std::fabs(dj) <= piv_floor) {
                     if (amax == 0.0) return -(s.c0 + j) - 1;
                     dj = (dj < 0 ? -1.0 : 1.0)
@@ -384,9 +471,9 @@ int64_t ldltmf_factorize(void* vh, double pivot_rel_eps) {
                 if (dj < 0) h->n_neg++; else if (dj > 0) h->n_pos++;
                 else h->n_zero++;
                 for (int64_t k = j + 1; k < p1; ++k) {
-                    double ljk = F[(size_t)j * d + k] / dj;
-                    double* colk = F.data() + (size_t)k * d;
-                    const double* colj = F.data() + (size_t)j * d;
+                    T ljk = conj_of(F[(size_t)j * d + k] / dj);  // conj L(k,j)
+                    T* colk = F.data() + (size_t)k * d;
+                    const T* colj = F.data() + (size_t)j * d;
                     for (int64_t i = k; i < p1; ++i)
                         colk[i] -= colj[i] * ljk;
                 }
@@ -394,32 +481,33 @@ int64_t ldltmf_factorize(void* vh, double pivot_rel_eps) {
                     F[(size_t)j * d + i] /= dj;
             }
             // trsm: rows p1..d of the panel become W = L*D images
+            // (F_below = W * L11^H  ->  W = F_below * inv(L11^H))
             const int64_t below = d - p1;
             if (below > 0) {
                 int m_i = (int)below, n_i = (int)pw, d_i = (int)d;
-                double one = 1.0;
-                xtrsm("R", "L", "T", "U", &m_i, &n_i, &one,
-                      F.data() + (size_t)p0 * d + p0, &d_i,
-                      F.data() + (size_t)p0 * d + p1, &d_i);
+                T one = T(1);
+                Blas<T>::trsm("R", "L", CT, "U", &m_i, &n_i, &one,
+                              F.data() + (size_t)p0 * d + p0, &d_i,
+                              F.data() + (size_t)p0 * d + p1, &d_i);
             }
             // rank-pw update of the remaining pivot columns [p1, w):
-            // F[p1:d, p1:w] -= W * Lpanel^T, Lpanel = W[p1:w] * D^-1
+            // F[p1:d, p1:w] -= W * Lpanel^H, Lpanel = W[p1:w] * D^-1
             const int64_t rem = w - p1;
             if (rem > 0 && below > 0) {
-                ltmp.assign((size_t)rem * pw, 0.0);
+                ltmp.assign((size_t)rem * pw, T(0));
                 for (int64_t j = 0; j < pw; ++j) {
                     double inv = 1.0 / s.D[p0 + j];
-                    const double* wcol = F.data() + (size_t)(p0 + j) * d + p1;
+                    const T* wcol = F.data() + (size_t)(p0 + j) * d + p1;
                     for (int64_t i = 0; i < rem; ++i)
                         ltmp[(size_t)j * rem + i] = wcol[i] * inv;
                 }
                 int m_i = (int)below, n_i = (int)rem, k_i = (int)pw;
                 int lda = (int)d, ldb = (int)rem, ldc = (int)d;
-                double mone = -1.0, one = 1.0;
-                xgemm("N", "T", &m_i, &n_i, &k_i, &mone,
-                      F.data() + (size_t)p0 * d + p1, &lda,
-                      ltmp.data(), &ldb, &one,
-                      F.data() + (size_t)p1 * d + p1, &ldc);
+                T mone = T(-1), one = T(1);
+                Blas<T>::gemm("N", CT, &m_i, &n_i, &k_i, &mone,
+                              F.data() + (size_t)p0 * d + p1, &lda,
+                              ltmp.data(), &ldb, &one,
+                              F.data() + (size_t)p1 * d + p1, &ldc);
             }
         }
         // normalize the subdiagonal pivot-block rows to unit lower
@@ -427,35 +515,35 @@ int64_t ldltmf_factorize(void* vh, double pivot_rel_eps) {
         for (int64_t j = 0; j < w; ++j) {
             int64_t pend = std::min(((j / PB) + 1) * PB, w);
             double inv = 1.0 / s.D[j];
-            double* col = F.data() + (size_t)j * d;
+            T* col = F.data() + (size_t)j * d;
             for (int64_t i = pend; i < w; ++i) col[i] *= inv;
         }
         // store factors; build L21 = W * D^{-1}
-        s.L11.assign((size_t)w * w, 0.0);
+        s.L11.assign((size_t)w * w, T(0));
         for (int64_t j = 0; j < w; ++j)
             for (int64_t i = j; i < w; ++i)
                 s.L11[(size_t)j * w + i] = (i == j)
-                    ? 1.0 : F[(size_t)j * d + i];
-        s.L21.assign((size_t)r * w, 0.0);
+                    ? T(1) : F[(size_t)j * d + i];
+        s.L21.assign((size_t)r * w, T(0));
         for (int64_t j = 0; j < w; ++j) {
             double inv = 1.0 / s.D[j];
-            const double* wcol = F.data() + (size_t)j * d + w;
-            double* lcol = s.L21.data() + (size_t)j * r;
+            const T* wcol = F.data() + (size_t)j * d + w;
+            T* lcol = s.L21.data() + (size_t)j * r;
             for (int64_t i = 0; i < r; ++i) lcol[i] = wcol[i] * inv;
         }
         h->factor_nnz += w * (w - 1) / 2 + r * w;
 
         // Schur complement straight into the update buffer:
-        //   up.m = -W * L21^T   (W = L21 * D lives in the panel)
+        //   up.m = -W * L21^H   (W = L21 * D lives in the panel)
         if (r > 0) {
             Update up;
             up.rows = rows;
             up.m.resize((size_t)r * r);
             int m_i = (int)r, n_i = (int)r, k_i = (int)w;
             int lda = (int)d, ldb = (int)r, ldc = (int)r;
-            double mone = -1.0, zero = 0.0;
-            xgemm("N", "T", &m_i, &n_i, &k_i, &mone, F.data() + w, &lda,
-                  s.L21.data(), &ldb, &zero, up.m.data(), &ldc);
+            T mone = T(-1), zero = T(0);
+            Blas<T>::gemm("N", CT, &m_i, &n_i, &k_i, &mone, F.data() + w,
+                          &lda, s.L21.data(), &ldb, &zero, up.m.data(), &ldc);
             // now add the children's F22 contributions
             for (size_t u = first_child; u < stack.size(); ++u) {
                 const auto& cu = stack[u];
@@ -463,8 +551,8 @@ int64_t ldltmf_factorize(void* vh, double pivot_rel_eps) {
                 for (int64_t j = 0; j < rc; ++j) {
                     int64_t lj = loc[cu.rows[j]];
                     if (lj < w) continue;    // panel part, already added
-                    const double* src = cu.m.data() + (size_t)j * rc;
-                    double* dst = up.m.data() + (size_t)(lj - w) * r;
+                    const T* src = cu.m.data() + (size_t)j * rc;
+                    T* dst = up.m.data() + (size_t)(lj - w) * r;
                     for (int64_t i = j; i < rc; ++i)
                         dst[loc[cu.rows[i]] - w] += src[i];
                 }
@@ -487,64 +575,52 @@ int64_t ldltmf_factorize(void* vh, double pivot_rel_eps) {
     return 0;
 }
 
-// Solve (P^T L D L^T P) X = B where P is the internal postorder; b/x are
+// Solve (P^T L D L^H P) X = B where P is the internal postorder; b/x are
 // RHS-contiguous (n rows x nrhs) in the caller's (pre-postorder) labels.
-void ldltmf_solve(void* vh, int64_t nrhs, const double* b, double* x) {
-    MfHandle* h = static_cast<MfHandle*>(vh);
+template <typename T>
+void mf_solve(MfHandle<T>* h, int64_t nrhs, const T* b, T* x) {
     const int64_t n = h->n;
-    dgemm_t xgemm = g_dgemm ? g_dgemm : naive_dgemm;
+    const char CT[2] = {Blas<T>::CT, 0};
     // y (column-major n x nrhs) in postorder labels
-    std::vector<double> y((size_t)n * nrhs);
+    std::vector<T> y((size_t)n * nrhs);
     for (int64_t i = 0; i < n; ++i) {
         int64_t ip = h->post[i];
         for (int64_t rr = 0; rr < nrhs; ++rr)
             y[(size_t)rr * n + ip] = b[(size_t)i * nrhs + rr];
     }
-    std::vector<double> t1, t2;
+    std::vector<T> t1, t2;
     int nr = (int)nrhs;
-    dtrsm_t xtrsm2 = g_dtrsm;
-    // forward: L z = y  (gather y1 column-major, dtrsm, scatter; one gemm
+    // forward: L z = y  (gather y1 column-major, trsm, scatter; one gemm
     // against the whole RHS block per supernode)
     for (auto& s : h->snodes) {
         int64_t w = s.c1 - s.c0, r = (int64_t)s.rows.size();
-        t1.assign((size_t)w * nrhs, 0.0);
+        t1.assign((size_t)w * nrhs, T(0));
         for (int64_t rr = 0; rr < nrhs; ++rr)
             for (int64_t j = 0; j < w; ++j)
                 t1[(size_t)rr * w + j] = y[(size_t)rr * n + s.c0 + j];
         if (w > 1) {
-            if (xtrsm2) {
-                int m_i = (int)w, w_i = (int)w;
-                double one = 1.0;
-                xtrsm2("L", "L", "N", "U", &m_i, &nr, &one, s.L11.data(),
-                       &w_i, t1.data(), &m_i);
-            } else {
-                for (int64_t j = 0; j < w; ++j)
-                    for (int64_t i = j + 1; i < w; ++i) {
-                        double l = s.L11[(size_t)j * w + i];
-                        if (l == 0.0) continue;
-                        for (int64_t rr = 0; rr < nrhs; ++rr)
-                            t1[(size_t)rr * w + i]
-                                -= l * t1[(size_t)rr * w + j];
-                    }
-            }
+            int m_i = (int)w, w_i = (int)w;
+            T one = T(1);
+            Blas<T>::trsm("L", "L", "N", "U", &m_i, &nr, &one, s.L11.data(),
+                          &w_i, t1.data(), &m_i);
         }
         for (int64_t rr = 0; rr < nrhs; ++rr)
             for (int64_t j = 0; j < w; ++j)
                 y[(size_t)rr * n + s.c0 + j] = t1[(size_t)rr * w + j];
         if (r > 0 && w > 0) {
-            t2.assign((size_t)r * nrhs, 0.0);
+            t2.assign((size_t)r * nrhs, T(0));
             int m_i = (int)r, k_i = (int)w, ldb = (int)w, ldc = (int)r;
             int lda = (int)r;
-            double one = 1.0, zero = 0.0;
-            xgemm("N", "N", &m_i, &nr, &k_i, &one, s.L21.data(), &lda,
-                  t1.data(), &ldb, &zero, t2.data(), &ldc);
+            T one = T(1), zero = T(0);
+            Blas<T>::gemm("N", "N", &m_i, &nr, &k_i, &one, s.L21.data(),
+                          &lda, t1.data(), &ldb, &zero, t2.data(), &ldc);
             for (int64_t rr = 0; rr < nrhs; ++rr)
                 for (int64_t i = 0; i < r; ++i)
                     y[(size_t)rr * n + s.rows[i]]
                         -= t2[(size_t)rr * r + i];
         }
     }
-    // diagonal
+    // diagonal (real also in the Hermitian case)
     for (auto& s : h->snodes) {
         int64_t w = s.c1 - s.c0;
         for (int64_t j = 0; j < w; ++j) {
@@ -553,43 +629,32 @@ void ldltmf_solve(void* vh, int64_t nrhs, const double* b, double* x) {
                 y[(size_t)rr * n + s.c0 + j] *= inv;
         }
     }
-    // backward: L^T x = z (reverse supernode order)
+    // backward: L^H x = z (reverse supernode order)
     for (auto it = h->snodes.rbegin(); it != h->snodes.rend(); ++it) {
         auto& s = *it;
         int64_t w = s.c1 - s.c0, r = (int64_t)s.rows.size();
-        t1.assign((size_t)w * nrhs, 0.0);
+        t1.assign((size_t)w * nrhs, T(0));
         for (int64_t rr = 0; rr < nrhs; ++rr)
             for (int64_t j = 0; j < w; ++j)
                 t1[(size_t)rr * w + j] = y[(size_t)rr * n + s.c0 + j];
         if (r > 0 && w > 0) {
-            // y1 -= L21^T * y(rows)
-            t2.assign((size_t)r * nrhs, 0.0);
+            // y1 -= L21^H * y(rows)
+            t2.assign((size_t)r * nrhs, T(0));
             for (int64_t rr = 0; rr < nrhs; ++rr)
                 for (int64_t i = 0; i < r; ++i)
                     t2[(size_t)rr * r + i] = y[(size_t)rr * n + s.rows[i]];
             int m_i = (int)w, k_i = (int)r, lda = (int)r, ldb = (int)r;
             int ldc = (int)w;
-            double mone = -1.0, one = 1.0;
-            xgemm("T", "N", &m_i, &nr, &k_i, &mone, s.L21.data(), &lda,
-                  t2.data(), &ldb, &one, t1.data(), &ldc);
+            T mone = T(-1), one = T(1);
+            Blas<T>::gemm(CT, "N", &m_i, &nr, &k_i, &mone, s.L21.data(),
+                          &lda, t2.data(), &ldb, &one, t1.data(), &ldc);
         }
-        // L11^T solve
+        // L11^H solve
         if (w > 1) {
-            if (xtrsm2) {
-                int m_i = (int)w, w_i = (int)w;
-                double one = 1.0;
-                xtrsm2("L", "L", "T", "U", &m_i, &nr, &one, s.L11.data(),
-                       &w_i, t1.data(), &m_i);
-            } else {
-                for (int64_t j = w - 1; j >= 0; --j)
-                    for (int64_t i = j + 1; i < w; ++i) {
-                        double l = s.L11[(size_t)j * w + i];
-                        if (l == 0.0) continue;
-                        for (int64_t rr = 0; rr < nrhs; ++rr)
-                            t1[(size_t)rr * w + j]
-                                -= l * t1[(size_t)rr * w + i];
-                    }
-            }
+            int m_i = (int)w, w_i = (int)w;
+            T one = T(1);
+            Blas<T>::trsm("L", "L", CT, "U", &m_i, &nr, &one, s.L11.data(),
+                          &w_i, t1.data(), &m_i);
         }
         for (int64_t rr = 0; rr < nrhs; ++rr)
             for (int64_t j = 0; j < w; ++j)
@@ -602,19 +667,96 @@ void ldltmf_solve(void* vh, int64_t nrhs, const double* b, double* x) {
     }
 }
 
+}  // namespace
+
+extern "C" {
+
+int64_t ldltmf_set_blas(const char* path, const char* prefix) {
+    void* h = dlopen(path, RTLD_NOW | RTLD_LOCAL);
+    if (!h) return -1;
+    std::string pre = prefix ? prefix : "";
+    g_dgemm = (dgemm_t)dlsym(h, (pre + "dgemm_").c_str());
+    g_dtrsm = (dtrsm_t)dlsym(h, (pre + "dtrsm_").c_str());
+    if (!g_dgemm || !g_dtrsm) {
+        g_dgemm = nullptr;
+        g_dtrsm = nullptr;
+        return -2;
+    }
+    // complex BLAS3 is optional: the Hermitian engine falls back to the
+    // naive kernels if absent
+    g_zgemm = (zgemm_t)dlsym(h, (pre + "zgemm_").c_str());
+    g_ztrsm = (ztrsm_t)dlsym(h, (pre + "ztrsm_").c_str());
+    if (!g_zgemm || !g_ztrsm) {
+        g_zgemm = nullptr;
+        g_ztrsm = nullptr;
+    }
+    return 0;
+}
+
+// -- real symmetric (LDL^T) --------------------------------------------------
+
+void* ldltmf_create(int64_t n, const int64_t* Ap, const int64_t* Ai,
+                    const double* Ax) {
+    return mf_create<double>(n, Ap, Ai, Ax);
+}
+
+void ldltmf_destroy(void* vh) { delete static_cast<MfHandle<double>*>(vh); }
+
+int64_t ldltmf_factorize(void* vh, double pivot_rel_eps) {
+    return mf_factorize(static_cast<MfHandle<double>*>(vh), pivot_rel_eps);
+}
+
+void ldltmf_solve(void* vh, int64_t nrhs, const double* b, double* x) {
+    mf_solve(static_cast<MfHandle<double>*>(vh), nrhs, b, x);
+}
+
 void ldltmf_inertia(void* vh, int64_t* neg, int64_t* pos, int64_t* zero) {
-    MfHandle* h = static_cast<MfHandle*>(vh);
+    MfHandle<double>* h = static_cast<MfHandle<double>*>(vh);
     *neg = h->n_neg;
     *pos = h->n_pos;
     *zero = h->n_zero;
 }
 
 int64_t ldltmf_factor_nnz(void* vh) {
-    return static_cast<MfHandle*>(vh)->factor_nnz;
+    return static_cast<MfHandle<double>*>(vh)->factor_nnz;
 }
 
 int64_t ldltmf_perturbed(void* vh) {
-    return static_cast<MfHandle*>(vh)->n_perturbed;
+    return static_cast<MfHandle<double>*>(vh)->n_perturbed;
+}
+
+// -- complex Hermitian (LDL^H, real D) ---------------------------------------
+
+void* zldltmf_create(int64_t n, const int64_t* Ap, const int64_t* Ai,
+                     const double* Ax_interleaved) {
+    return mf_create<cplx>(n, Ap, Ai,
+                           reinterpret_cast<const cplx*>(Ax_interleaved));
+}
+
+void zldltmf_destroy(void* vh) { delete static_cast<MfHandle<cplx>*>(vh); }
+
+int64_t zldltmf_factorize(void* vh, double pivot_rel_eps) {
+    return mf_factorize(static_cast<MfHandle<cplx>*>(vh), pivot_rel_eps);
+}
+
+void zldltmf_solve(void* vh, int64_t nrhs, const double* b, double* x) {
+    mf_solve(static_cast<MfHandle<cplx>*>(vh), nrhs,
+             reinterpret_cast<const cplx*>(b), reinterpret_cast<cplx*>(x));
+}
+
+void zldltmf_inertia(void* vh, int64_t* neg, int64_t* pos, int64_t* zero) {
+    MfHandle<cplx>* h = static_cast<MfHandle<cplx>*>(vh);
+    *neg = h->n_neg;
+    *pos = h->n_pos;
+    *zero = h->n_zero;
+}
+
+int64_t zldltmf_factor_nnz(void* vh) {
+    return static_cast<MfHandle<cplx>*>(vh)->factor_nnz;
+}
+
+int64_t zldltmf_perturbed(void* vh) {
+    return static_cast<MfHandle<cplx>*>(vh)->n_perturbed;
 }
 
 }  // extern "C"

@@ -9,3 +9,7 @@ jax_platform = None
 
 # If not None, path of the prebuilt native sparse-solver shared library.
 native_lib_path = None
+
+# Route complex Hermitian factorizations through the real-symmetric
+# embedding (2x size) instead of the native LDL^H engine (debug fallback).
+complex_via_embedding = False

@@ -129,10 +129,52 @@ def test_partial_hevp_buckling():
     assert np.allclose(lmd[:3], w_desc[:3], rtol=1e-4)
 
 
+def test_native_complex_ldlh():
+    """Native Hermitian LDL^H engine (zldltmf_*): solve accuracy, exact
+    inertia against a dense oracle, and agreement with the real-symmetric
+    embedding fallback."""
+    from raleigh_tpu.native.ldlt import SparseLDLT
+    from raleigh_tpu.algebra.sparse import SparseSymmetricSolver
+    from raleigh_tpu.utils import env
+
+    rng = np.random.default_rng(3)
+    n = 300
+    m = scs.random(n, n, density=0.03, random_state=5).tocoo()
+    data = rng.standard_normal(m.nnz) + 1j * rng.standard_normal(m.nnz)
+    a = scs.coo_matrix((data, (m.row, m.col)), shape=(n, n)).tocsr()
+    a = a + a.conj().T
+    a = a + scs.diags((1.0 + 0.1 * rng.standard_normal(n)).astype(complex))
+
+    s = SparseLDLT(a)
+    assert s.complex
+    s.factorize()
+    b = rng.standard_normal((4, n)) + 1j * rng.standard_normal((4, n))
+    x = s.solve(b)
+    assert np.abs(a @ x.T - b.T).max() / np.abs(b).max() < 1e-8
+    w = np.linalg.eigvalsh(a.toarray())
+    assert s.inertia() == (int((w < 0).sum()), int((w > 0).sum()))
+
+    # the high-level solver agrees between the native and embedding routes
+    bb = b[:2]
+    outs = []
+    for emb in (False, True):
+        env.complex_via_embedding = emb
+        try:
+            ss = SparseSymmetricSolver(dtype=np.complex128)
+            ss.analyse(a, sigma=0.5)
+            ss.factorize()
+            xx = np.empty_like(bb)
+            ss.solve(bb, xx)
+            outs.append((xx.copy(), ss.inertia()))
+        finally:
+            env.complex_via_embedding = False
+    assert np.allclose(outs[0][0], outs[1][0], atol=1e-8)
+    assert outs[0][1] == outs[1][1]
+
+
 def test_partial_hevp_complex_hermitian():
-    """Complex Hermitian shift-invert via the real-symmetric embedding of
-    the native LDL^T (reference supports c/z through PARDISO,
-    mkl_wrap.py:137-196)."""
+    """Complex Hermitian shift-invert via the native LDL^H
+    (reference supports c/z through PARDISO, mkl_wrap.py:137-196)."""
     from raleigh_tpu.interfaces.partial_hevp import partial_hevp
     n = 128
     d = 1j * np.ones(n - 1)
