@@ -34,6 +34,9 @@ _EXPORTS = {
     'LowerRankApproximation': 'raleigh_tpu.interfaces.lra',
     'PartialSVD': 'raleigh_tpu.interfaces.partial_svd',
     'AMatrix': 'raleigh_tpu.algebra.dense',
+    'lobpcg': 'raleigh_tpu.core.device_solver',
+    'Chebyshev': 'raleigh_tpu.algebra.sparse',
+    'spectral_bounds': 'raleigh_tpu.algebra.sparse',
 }
 
 

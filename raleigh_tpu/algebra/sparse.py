@@ -230,10 +230,48 @@ class Chebyshev:
         self.lo = float(lo)
         self.hi = float(hi)
         self.degree = int(degree)
+        self.__fused = None
+
+    def _device_fused(self):
+        """One-jit version of the whole recurrence: ``degree`` SpMMs plus
+        all the axpys compile into a single XLA program, so an apply is
+        one device dispatch instead of ~4*degree (decisive on remote/
+        tunneled devices where each dispatch costs ~1 ms)."""
+        if self.__fused is not None:
+            return self.__fused
+        dev = self.__op.device_matrix()
+        theta = 0.5 * (self.hi + self.lo)
+        delta = 0.5 * (self.hi - self.lo)
+        sigma1 = theta / delta
+        degree = self.degree
+
+        import jax
+
+        @jax.jit
+        def run(xt):
+            rho = 1.0 / sigma1
+            d = xt / theta
+            r = xt
+            y = None
+            for _ in range(degree):
+                y = d if y is None else y + d
+                r = r - dev.matmat_t(d)
+                rho_new = 1.0 / (2.0 * sigma1 - rho)
+                d = (rho * rho_new) * d + (2.0 * rho_new / delta) * r
+                rho = rho_new
+            return y
+
+        self.__fused = run
+        return run
 
     def apply(self, x, y):
         """y ~= A^-1 x: Chebyshev iteration for A y = x with y0 = 0,
         eigenvalue bounds [lo, hi]."""
+        if (self.__op.device_matrix() is not None
+                and hasattr(x, 'device_data')):
+            yt = self._device_fused()(x.device_data().T)
+            y.fill(yt.T)
+            return
         theta = 0.5 * (self.hi + self.lo)
         delta = 0.5 * (self.hi - self.lo)
         sigma1 = theta / delta

@@ -18,12 +18,18 @@ from ..core.solver import Problem, Solver, Options, DefaultConvergenceCriteria
 
 
 def partial_hevp(A, B=None, T=None, buckling=False, sigma=0, which=6,
-                 tol=1e-4, verb=0, opt=None, arch='cpu'):
+                 tol=1e-4, verb=0, opt=None, arch='cpu', engine='auto'):
     """Compute eigenpairs of a sparse symmetric problem near a shift
     (factorization path) or at the lower end of the spectrum
     (preconditioned path).  See reference partial_hevp.py:21-95 for the
     parameter/status contract; ``arch`` additionally selects the algebra
     backend ('cpu' host / 'tpu' device) for the block-vector iteration.
+
+    ``engine`` selects the iteration engine for the preconditioned path:
+    'core' is the reference-parity host-orchestrated block Jacobi-CG
+    solver; 'device' the fully device-resident LOBPCG superkernel
+    (std problems with a jit-traceable preconditioner, e.g. Chebyshev);
+    'auto' picks 'device' whenever it applies on a device arch.
 
     Returns (lmd, x, status).
     """
@@ -126,6 +132,19 @@ def partial_hevp(A, B=None, T=None, buckling=False, sigma=0, which=6,
         if buckling:
             raise ValueError('preconditioning for buckling problems is not'
                              ' supported')
+        # device engine: a standard problem on a device arch with a
+        # jit-traceable preconditioner runs in the fully device-resident
+        # LOBPCG superkernel (core/device_solver.py) — the whole iteration
+        # is one XLA program instead of ~10 dispatches per iteration
+        if (engine in ('auto', 'device') and B is None
+                and not isinstance(which, tuple)
+                and str(arch).lower().startswith(('tpu', 'gpu', 'jax'))
+                and (T is None or hasattr(T, '_device_fused'))):
+            return _device_path(A, T, which, tol, verb, opt, arch)
+        if engine == 'device':
+            raise ValueError("engine='device' needs a std problem (B=None),"
+                             " integer which, a device arch, and a"
+                             " jit-traceable preconditioner")
         opA = SparseSymmetricMatrix(A, arch=arch)
         n = opA.size()
         dtype = opA.data_type().type
@@ -170,6 +189,35 @@ def partial_hevp(A, B=None, T=None, buckling=False, sigma=0, which=6,
     if ne > 0:
         x = x[:, ind]
     return lmd, x, status
+
+
+def _device_path(A, T, which, tol, verb, opt, arch):
+    """Preconditioned std problem on the device-resident LOBPCG engine."""
+    from ..core.device_solver import lobpcg
+
+    opA = SparseSymmetricMatrix(A, arch=arch)
+    dev = opA.device_matrix()
+    precond = T._device_fused() if T is not None else None
+    maxit = getattr(opt, 'max_iter', -1)
+    if maxit is None or maxit < 0:
+        maxit = 600
+    block = getattr(opt, 'block_size', -1)
+    block = None if block is None or block < which else block
+    dtype = np.float64 if np.dtype(A.dtype).itemsize >= 8 and \
+        _x64_enabled() else np.float32
+    start = time.time()
+    lmd, x, resid, niter, status = lobpcg(
+        dev, which, precond=precond, block_size=block, tol=tol,
+        maxit=maxit, verb=max(verb, 0), dtype=dtype)
+    if verb > -1:
+        print('iterations: %d, solve time: %.2e'
+              % (niter, time.time() - start))
+    return lmd, x, status
+
+
+def _x64_enabled():
+    import jax
+    return bool(jax.config.jax_enable_x64)
 
 
 def _ndarray_level(T):

@@ -7,7 +7,14 @@ store *full rows* — the symmetric gather/scatter asymmetry of csrsymv is
 hostile to SIMD machines, and storing both halves makes every output row an
 independent reduction (reference SURVEY §7 design note).
 
-Two device layouts:
+Three device layouts:
+
+  * DIA ("populated diagonals"): values stored per diagonal offset; the
+    product is a sum of statically-shifted elementwise multiply-adds —
+    no gathers at all, the layout of choice for stencil and banded
+    matrices (FD Laplacians, RCM-reordered FE meshes).  Runs on the VPU
+    at HBM speed-of-light: one pass over the values and ``noff`` shifted
+    passes over the operand block, all fused by XLA.
 
   * ELL ("padded rows"): indices/values padded to the max row degree and
     processed as a `lax.scan` over diagonals of the padded structure — each
@@ -49,6 +56,56 @@ def _to_full_csr(a):
     a.sum_duplicates()
     a.sort_indices()
     return a
+
+
+class DiaMatrix:
+    """Diagonal (DIA) device storage: values per populated diagonal, the
+    SpMM is a sum of statically-shifted fused multiply-adds (no gathers).
+
+    ``val[k, i]`` holds A[i, i + offsets[k]] (row-major diagonal
+    convention, matching scipy.sparse.dia_matrix transposed)."""
+
+    def __init__(self, a, dtype=np.float32):
+        a = _to_full_csr(a)
+        n = a.shape[0]
+        d = a.todia()
+        offsets = np.asarray(d.offsets, dtype=np.int64)
+        order = np.argsort(offsets)
+        offsets = offsets[order]
+        # scipy dia data[k, j] = A[j - offsets[k], j] (column j); convert
+        # to row convention val[k, i] = A[i, i + off] = data[k, i + off]
+        val = np.zeros((len(offsets), n), dtype=dtype)
+        for k, off in enumerate(offsets):
+            data_k = d.data[order[k]]
+            if off >= 0:
+                val[k, : n - off] = data_k[off: n]
+            else:
+                val[k, -off:] = data_k[: n + off]
+        self.shape = (n, n)
+        self.nnz = int(a.nnz)
+        self.offsets = tuple(int(o) for o in offsets)
+        self.val = jnp.asarray(val)
+        self.dtype = dtype
+
+    def matmat_t(self, xt):
+        """(n, m) = A @ (n, m)."""
+        return _dia_matmat(self.val, xt, self.offsets)
+
+
+@partial(jax.jit, static_argnames=('offsets',))
+def _dia_matmat(val, xt, offsets):
+    """y[i] = sum_k val[k, i] * xt[i + offsets[k]] with static shifts: the
+    operand is zero-padded once on both sides, every diagonal becomes a
+    static slice, and XLA fuses the whole sum into one elementwise pass."""
+    n, m = xt.shape
+    lo = max(0, -min(offsets))
+    hi = max(0, max(offsets))
+    xp = jnp.pad(xt, ((lo, hi), (0, 0)))
+    y = jnp.zeros((n, m), dtype=xt.dtype)
+    for k, off in enumerate(offsets):
+        y = y + val[k][:, None] * jax.lax.dynamic_slice_in_dim(
+            xp, lo + off, n, axis=0)
+    return y
 
 
 class EllMatrix:
@@ -153,11 +210,19 @@ def _bsr_matmat(blocks, block_cols, block_rows, xtiles, nb):
     return jax.ops.segment_sum(prod, block_rows, num_segments=nb)
 
 
-def device_sparse(a, dtype=np.float32, block_width_hint=32, bs=128):
-    """Choose a device layout for the symmetric sparse matrix ``a``: BSR
-    when tile fill * block width can feed the MXU, ELL otherwise."""
+def device_sparse(a, dtype=np.float32, block_width_hint=32, bs=128,
+                  max_dia_offsets=96, max_dia_waste=3.0):
+    """Choose a device layout for the symmetric sparse matrix ``a``:
+    DIA when the pattern collapses onto few populated diagonals (stencils,
+    banded matrices — no gathers at all), BSR when tile fill * block width
+    can feed the MXU, ELL otherwise."""
     csr = _to_full_csr(a)
     n = csr.shape[0]
+    if n > 1:
+        rows = np.repeat(np.arange(n), np.diff(csr.indptr))
+        noff = np.unique(csr.indices - rows).size
+        if noff <= max_dia_offsets and noff * n <= max_dia_waste * csr.nnz:
+            return DiaMatrix(csr, dtype=dtype)
     if n >= bs:
         # number of nonempty tiles = distinct (row_tile, col_tile) pairs
         nb = -(-n // bs)

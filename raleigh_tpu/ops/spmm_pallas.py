@@ -31,8 +31,11 @@ def _spmm_kernel(cols_ref, blocks_ref, x_ref, o_ref):
     def _():
         o_ref[:, :] = jnp.zeros_like(o_ref)
 
+    # HIGHEST: true-f32 MXU passes — the default bf16x3 route costs ~1e-3
+    # relative error on ill-scaled stencil values
     o_ref[:, :] += jnp.dot(blocks_ref[0], x_ref[:, :],
-                           preferred_element_type=o_ref.dtype)
+                           preferred_element_type=o_ref.dtype,
+                           precision=jax.lax.Precision.HIGHEST)
 
 
 class PallasBsrMatrix:

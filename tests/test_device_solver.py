@@ -1,0 +1,152 @@
+"""Tests for the device-resident LOBPCG engine (core/device_solver.py),
+the DIA SpMM layout, and the fused device Chebyshev preconditioner.
+
+These run on the virtual CPU mesh (conftest.py) with x64 enabled; the same
+code paths run unchanged on a real TPU (float32).
+"""
+
+import numpy as np
+import pytest
+
+from raleigh_tpu.examples.laplace import lap3d, lap3d_eigenvalues
+
+
+@pytest.fixture(scope='module')
+def lap():
+    a = lap3d(10, 10, 10, 1.0, 1.0, 1.0)
+    exact = np.sort(lap3d_eigenvalues(10, 10, 10, 1.0, 1.0, 1.0))
+    return a, exact
+
+
+def test_dia_layout_matches_scipy(lap):
+    import jax.numpy as jnp
+    from raleigh_tpu.ops.spmm import DiaMatrix, device_sparse
+
+    a, _ = lap
+    n = a.shape[0]
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((n, 5))
+    dm = DiaMatrix(a, dtype=np.float64)
+    y = np.asarray(dm.matmat_t(jnp.asarray(x)))
+    assert np.allclose(y, a @ x, atol=1e-12)
+    # the steering picks DIA for a stencil matrix
+    assert type(device_sparse(a)).__name__ == 'DiaMatrix'
+
+
+def test_dia_steering_rejects_scattered_pattern():
+    import scipy.sparse as scs
+    from raleigh_tpu.ops.spmm import device_sparse
+
+    rng = np.random.default_rng(1)
+    a = scs.random(1500, 1500, density=0.01, random_state=3)
+    a = a + a.T + scs.eye(1500)
+    assert type(device_sparse(a)).__name__ != 'DiaMatrix'
+
+
+def test_fused_chebyshev_matches_host(lap):
+    from raleigh_tpu.algebra.sparse import Chebyshev, spectral_bounds
+    from raleigh_tpu.algebra import dense_jax
+
+    a, _ = lap
+    n = a.shape[0]
+    lo, hi = spectral_bounds(a)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, n))
+    ch = Chebyshev(a, lo, hi, degree=10, arch='cpu')
+    yh = np.zeros_like(x)
+    ch.apply(x, yh)
+    cd = Chebyshev(a, lo, hi, degree=10, arch='tpu')
+    xv = dense_jax.Vectors(np.asarray(x))
+    yv = dense_jax.Vectors(np.zeros_like(x))
+    cd.apply(xv, yv)
+    assert np.abs(yv.data() - yh).max() / np.abs(yh).max() < 1e-10
+
+
+def test_lobpcg_smallest(lap):
+    from raleigh_tpu.core.device_solver import lobpcg
+    from raleigh_tpu.ops.spmm import device_sparse
+
+    a, exact = lap
+    dm = device_sparse(a, dtype=np.float64)
+    lam, x, r, it, st = lobpcg(dm, 6, tol=1e-8, maxit=300, dtype=np.float64)
+    assert st == 0
+    assert np.abs(lam - exact[:6]).max() < 1e-5
+    # returned eigenvectors are orthonormal and satisfy the residual
+    g = x.T @ x
+    assert np.abs(g - np.eye(6)).max() < 1e-8
+    assert np.linalg.norm(a @ x - x * lam[None, :], axis=0).max() < \
+        1e-8 * exact[-1] * 10
+
+
+def test_lobpcg_preconditioned_and_f32(lap):
+    from raleigh_tpu.core.device_solver import lobpcg
+    from raleigh_tpu.ops.spmm import device_sparse
+    from raleigh_tpu.algebra.sparse import Chebyshev, spectral_bounds
+
+    a, exact = lap
+    lo, hi = spectral_bounds(a)
+    ch = Chebyshev(a, hi * 1e-4, hi, degree=10, arch='tpu')
+    dm = device_sparse(a, dtype=np.float64)
+    lam, x, r, it0, st = lobpcg(dm, 6, precond=ch._device_fused(),
+                                tol=1e-8, maxit=300, dtype=np.float64)
+    assert st == 0
+    assert np.abs(lam - exact[:6]).max() < 1e-5
+
+    dm32 = device_sparse(a, dtype=np.float32)
+    lam, x, r, it, st = lobpcg(dm32, 6, precond=ch._device_fused(),
+                               tol=1e-4, maxit=300, dtype=np.float32)
+    assert st == 0
+    assert np.abs(lam - exact[:6]).max() / exact[5] < 1e-3
+
+
+def test_lobpcg_largest(lap):
+    from raleigh_tpu.core.device_solver import lobpcg
+    from raleigh_tpu.ops.spmm import device_sparse
+
+    a, exact = lap
+    dm = device_sparse(a, dtype=np.float64)
+    lam, x, r, it, st = lobpcg(dm, 3, largest=True, tol=1e-6, maxit=300,
+                               dtype=np.float64)
+    assert np.abs(np.sort(lam) - exact[-3:]).max() / exact[-1] < 1e-4
+
+
+def test_lobpcg_warm_start(lap):
+    from raleigh_tpu.core.device_solver import lobpcg
+    from raleigh_tpu.ops.spmm import device_sparse
+
+    a, exact = lap
+    dm = device_sparse(a, dtype=np.float64)
+    lam, x, r, it0, st = lobpcg(dm, 4, tol=1e-6, maxit=300,
+                                dtype=np.float64)
+    # restart from the converged eigenvectors: should converge immediately
+    lam2, x2, r2, it1, st2 = lobpcg(dm, 4, x0=x, tol=1e-6, maxit=300,
+                                    dtype=np.float64)
+    assert st2 == 0
+    assert it1 < it0
+
+
+def test_lobpcg_iteration_limit(lap):
+    from raleigh_tpu.core.device_solver import lobpcg
+    from raleigh_tpu.ops.spmm import device_sparse
+
+    a, _ = lap
+    dm = device_sparse(a, dtype=np.float64)
+    lam, x, r, it, st = lobpcg(dm, 6, tol=1e-14, maxit=8, chunk=4,
+                               dtype=np.float64)
+    assert st == 2 and it == 8
+
+
+def test_partial_hevp_device_engine(lap):
+    from raleigh_tpu.interfaces.partial_hevp import partial_hevp
+    from raleigh_tpu.algebra.sparse import Chebyshev, spectral_bounds
+
+    a, exact = lap
+    lo, hi = spectral_bounds(a)
+    T = Chebyshev(a, hi * 1e-4, hi, degree=10, arch='tpu')
+    lmd, x, status = partial_hevp(a, T=T, which=5, tol=1e-6, verb=-1,
+                                  arch='tpu', engine='device')
+    assert status == 0
+    assert np.abs(np.sort(lmd)[:5] - exact[:5]).max() / exact[4] < 1e-4
+    # engine='device' without a jit-traceable preconditioner is an error
+    with pytest.raises(ValueError):
+        partial_hevp(a, T=T, which=5, arch='cpu', engine='device')
