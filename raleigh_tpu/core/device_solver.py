@@ -88,9 +88,26 @@ def _ortho_against(block, basis):
     return block
 
 
+def shard_operator(dm, mesh, axis='chips'):
+    """Place a device sparse matrix's payload so the LOBPCG iteration
+    shards over the vector dimension of ``mesh``: XLA's GSPMD partitioner
+    then turns the DIA shifts into collective-permutes at shard
+    boundaries, the ELL gathers into local gathers + all-to-all where
+    needed, and every Gram matrix into a local matmul + psum — the
+    sharded-Vectors design of SURVEY §5.8 with zero solver changes."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if hasattr(dm, 'val') and dm.val.ndim == 2:      # DIA: (noff, n)
+        dm.val = jax.device_put(dm.val, NamedSharding(mesh, P(None, axis)))
+    elif hasattr(dm, 'idx'):                         # ELL: (n, K)
+        dm.idx = jax.device_put(dm.idx, NamedSharding(mesh, P(axis, None)))
+        dm.val = jax.device_put(dm.val, NamedSharding(mesh, P(axis, None)))
+    return dm
+
+
 def lobpcg(op, k, n=None, precond=None, block_size=None, tol=1e-4,
-           maxit=500, chunk=8, largest=False, x0=None, seed=1,
-           dtype=np.float32, verb=0):
+           maxit=500, chunk=16, largest=False, x0=None, seed=1,
+           dtype=np.float32, verb=0, sharding=None):
     """Compute the ``k`` algebraically smallest (or largest) eigenpairs of
     a symmetric positive (semi-)definite operator entirely on device.
 
@@ -106,8 +123,12 @@ def lobpcg(op, k, n=None, precond=None, block_size=None, tol=1e-4,
     block_size : iteration block m >= k (default: k + max(8, k//4)).
     tol : convergence on ||A x - lmd x|| <= tol * anorm_est per wanted
         pair, anorm_est = running max |lmd| (scipy.lobpcg convention).
-    chunk : device iterations per host dispatch.
+    chunk : device iterations per host dispatch (larger amortizes the
+        dispatch latency of remote/tunneled devices).
     x0 : optional (n, >=m) initial guess block.
+    sharding : optional jax.sharding.Sharding for the (n, m) iteration
+        blocks (vector dimension sharded over the mesh); pair it with
+        ``shard_operator`` so GSPMD partitions the whole superkernel.
 
     Returns (lmd (k,), x (n, k), resid (k,), niter, status) with status
     0 = converged, 2 = iteration limit (solver status convention,
@@ -204,6 +225,8 @@ def lobpcg(op, k, n=None, precond=None, block_size=None, tol=1e-4,
                 axis=1)
     else:
         x = jax.random.normal(jax.random.PRNGKey(seed), (n, m), dtype)
+    if sharding is not None:
+        x = jax.device_put(x, sharding)
     x, _ = _whiten(x, eps_rel, sqrt_eps)
     ax = matmat(x)
     p = jnp.zeros_like(x)

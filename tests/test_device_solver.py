@@ -136,6 +136,28 @@ def test_lobpcg_iteration_limit(lap):
     assert st == 2 and it == 8
 
 
+def test_lobpcg_sharded_mesh(lap):
+    """The whole superkernel partitions over a device mesh via GSPMD:
+    shard the DIA values and the iteration block along the vector
+    dimension — no solver changes (SURVEY §5.8 sharded-Vectors design)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from raleigh_tpu.core.device_solver import lobpcg, shard_operator
+    from raleigh_tpu.ops.spmm import device_sparse
+
+    a, exact = lap
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip('needs a multi-device mesh')
+    mesh = Mesh(np.array(devs), ('chips',))
+    dm = shard_operator(device_sparse(a, dtype=np.float64), mesh)
+    lam, x, r, it, st = lobpcg(
+        dm, 6, tol=1e-8, maxit=300, dtype=np.float64,
+        sharding=NamedSharding(mesh, P('chips', None)))
+    assert st == 0
+    assert np.abs(lam - exact[:6]).max() < 1e-6
+
+
 def test_partial_hevp_device_engine(lap):
     from raleigh_tpu.interfaces.partial_hevp import partial_hevp
     from raleigh_tpu.algebra.sparse import Chebyshev, spectral_bounds
