@@ -35,6 +35,10 @@
 #include <vector>
 #include <algorithm>
 #include <dlfcn.h>
+#include <unistd.h>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 namespace {
 
@@ -55,10 +59,13 @@ typedef void (*ztrsm_t)(const char*, const char*, const char*, const char*,
                         const int*, const int*, const cplx*, const cplx*,
                         const int*, cplx*, const int*);
 
+typedef void (*set_threads_t)(int);
+
 dgemm_t g_dgemm = nullptr;
 dtrsm_t g_dtrsm = nullptr;
 zgemm_t g_zgemm = nullptr;
 ztrsm_t g_ztrsm = nullptr;
+set_threads_t g_blas_set_threads = nullptr;
 
 inline double conj_of(double x) { return x; }
 inline cplx conj_of(const cplx& x) { return std::conj(x); }
@@ -194,9 +201,21 @@ struct MfHandle {
     std::vector<int64_t> ipost;
     std::vector<Supernode<T>> snodes;
     std::vector<int64_t> snode_of_col;
+    std::vector<int64_t> col_parent, col_lnz;  // relabeled etree + counts
     int64_t n_neg = 0, n_pos = 0, n_zero = 0, n_perturbed = 0;
     int64_t factor_nnz = 0;
     bool factorized = false;
+};
+
+template <typename T>
+struct Update {
+    std::vector<int64_t> rows;
+    std::vector<T> m;                // (r x r) column-major, full
+};
+
+struct FactCounters {
+    int64_t n_neg = 0, n_pos = 0, n_zero = 0, n_perturbed = 0;
+    int64_t factor_nnz = 0;
 };
 
 void etree_upper_csc(int64_t n, const int64_t* Ap, const int64_t* Ai,
@@ -331,8 +350,10 @@ MfHandle<T>* mf_create(int64_t n, const int64_t* Ap, const int64_t* Ai,
     // jumps are absorbed as explicit zeros so the fronts get wide enough
     // to keep dgemm on the BLAS3 fast path (FE meshes with few dofs per
     // node otherwise yield width-3 fronts)
-    std::vector<int64_t> parent2, lnz2;
-    etree_upper_csc(n, h->Ap.data(), h->Ai.data(), parent2, lnz2);
+    etree_upper_csc(n, h->Ap.data(), h->Ai.data(), h->col_parent,
+                    h->col_lnz);
+    const std::vector<int64_t>& parent2 = h->col_parent;
+    const std::vector<int64_t>& lnz2 = h->col_lnz;
     // fundamental chains may grow to WCAP (wide separator supernodes are
     // factored with a blocked in-front panel sweep, so width costs no
     // extra update traffic); relaxed amalgamation stays narrow
@@ -363,26 +384,18 @@ MfHandle<T>* mf_create(int64_t n, const int64_t* Ap, const int64_t* Ai,
     return h;
 }
 
+// Factor one supernode: assemble its front from A and the children
+// updates on top of ``stack``, partial-LDL the pivot block, trsm the
+// panel, push the Schur update.  Thread-safe across disjoint supernodes
+// (all shared handle state is read-only here; results land in s and cnt).
 template <typename T>
-int64_t mf_factorize(MfHandle<T>* h, double pivot_rel_eps) {
-    const int64_t n = h->n;
+int64_t process_snode(MfHandle<T>* h, Supernode<T>& s,
+                      std::vector<Update<T>>& stack,
+                      std::vector<int64_t>& loc, double piv_floor,
+                      double amax, double pivot_rel_eps,
+                      FactCounters& cnt) {
     const char CT[2] = {Blas<T>::CT, 0};
-
-    double amax = 0.0;
-    for (const T& v : h->Ax) amax = std::max(amax, abs_of(v));
-    const double piv_floor = pivot_rel_eps * amax;
-
-    struct Update {
-        std::vector<int64_t> rows;
-        std::vector<T> m;            // (r x r) column-major, full
-    };
-    std::vector<Update> stack;
-
-    h->n_neg = h->n_pos = h->n_zero = h->n_perturbed = 0;
-    h->factor_nnz = 0;
-    std::vector<int64_t> loc(n, -1);
-
-    for (auto& s : h->snodes) {
+    {
         const int64_t w = s.c1 - s.c0;
         // children updates sit on top of the stack: count how many by
         // checking row ownership (their first row lies in this supernode
@@ -465,11 +478,11 @@ int64_t mf_factorize(MfHandle<T>* h, double pivot_rel_eps) {
                     if (amax == 0.0) return -(s.c0 + j) - 1;
                     dj = (dj < 0 ? -1.0 : 1.0)
                          * (piv_floor > 0 ? piv_floor : pivot_rel_eps);
-                    h->n_perturbed++;
+                    cnt.n_perturbed++;
                 }
                 s.D[j] = dj;
-                if (dj < 0) h->n_neg++; else if (dj > 0) h->n_pos++;
-                else h->n_zero++;
+                if (dj < 0) cnt.n_neg++; else if (dj > 0) cnt.n_pos++;
+                else cnt.n_zero++;
                 for (int64_t k = j + 1; k < p1; ++k) {
                     T ljk = conj_of(F[(size_t)j * d + k] / dj);  // conj L(k,j)
                     T* colk = F.data() + (size_t)k * d;
@@ -531,12 +544,12 @@ int64_t mf_factorize(MfHandle<T>* h, double pivot_rel_eps) {
             T* lcol = s.L21.data() + (size_t)j * r;
             for (int64_t i = 0; i < r; ++i) lcol[i] = wcol[i] * inv;
         }
-        h->factor_nnz += w * (w - 1) / 2 + r * w;
+        cnt.factor_nnz += w * (w - 1) / 2 + r * w;
 
         // Schur complement straight into the update buffer:
         //   up.m = -W * L21^H   (W = L21 * D lives in the panel)
         if (r > 0) {
-            Update up;
+            Update<T> up;
             up.rows = rows;
             up.m.resize((size_t)r * r);
             int m_i = (int)r, n_i = (int)r, k_i = (int)w;
@@ -561,7 +574,7 @@ int64_t mf_factorize(MfHandle<T>* h, double pivot_rel_eps) {
         }
         // pop the children updates (keep the new one if it was pushed)
         if (r > 0) {
-            Update mine = std::move(stack.back());
+            Update<T> mine = std::move(stack.back());
             stack.resize(first_child);
             stack.push_back(std::move(mine));
         } else {
@@ -571,6 +584,169 @@ int64_t mf_factorize(MfHandle<T>* h, double pivot_rel_eps) {
         for (int64_t t = 0; t < r; ++t) loc[rows[t]] = -1;
         s.rows = std::move(rows);
     }
+    return 0;
+}
+
+// Numeric factorization with task-parallel elimination-subtree
+// scheduling: independent subtrees of the supernode tree (contiguous
+// supernode ranges in postorder) whose estimated work is below a
+// threshold are factored concurrently, each with its own update stack
+// and single-threaded BLAS; the remaining top of the tree then runs
+// sequentially, its stack seeded with the subtree-root updates at their
+// postorder positions (the stack invariant — children updates on top, in
+// order — is thereby preserved).  This is the task-parallel counterpart
+// of PARDISO's subtree scheduling on the host cores.
+template <typename T>
+int64_t mf_factorize(MfHandle<T>* h, double pivot_rel_eps) {
+    const int64_t n = h->n;
+    const int64_t ns = (int64_t)h->snodes.size();
+
+    double amax = 0.0;
+    for (const T& v : h->Ax) amax = std::max(amax, abs_of(v));
+    const double piv_floor = pivot_rel_eps * amax;
+
+    h->n_neg = h->n_pos = h->n_zero = h->n_perturbed = 0;
+    h->factor_nnz = 0;
+
+    // supernode tree + per-subtree work estimate (sum lnz^2 over columns)
+    std::vector<int64_t> sparent(ns, -1);
+    std::vector<double> weight(ns, 0.0);
+    std::vector<int64_t> first_sid(ns);
+    for (int64_t si = 0; si < ns; ++si) {
+        const auto& s = h->snodes[si];
+        double wk = 0.0;
+        for (int64_t c = s.c0; c < s.c1; ++c) {
+            double l = (double)h->col_lnz[c];
+            wk += l * l;
+        }
+        weight[si] = wk;
+        first_sid[si] = si;
+        int64_t pc = h->col_parent[s.c1 - 1];
+        sparent[si] = pc >= 0 ? h->snode_of_col[pc] : -1;
+    }
+    for (int64_t si = 0; si < ns; ++si)
+        if (sparent[si] >= 0) {
+            weight[sparent[si]] += weight[si];
+            first_sid[sparent[si]] =
+                std::min(first_sid[sparent[si]], first_sid[si]);
+        }
+
+    int nthreads = 1;
+#ifdef _OPENMP
+    // never oversubscribe the physical cores: an OMP_NUM_THREADS above
+    // the core count thrashes (measured 2x slower on a 2-core host)
+    nthreads = std::min(std::min(omp_get_max_threads(),
+                                 omp_get_num_procs()), 8);
+#endif
+    double total = 0.0;
+    for (int64_t si = 0; si < ns; ++si)
+        if (sparent[si] < 0) total += weight[si];
+    const double threshold = total / (8.0 * std::max(nthreads, 1));
+
+    // select maximal subtrees below the threshold: walk the supernode
+    // tree top-down; a subtree that fits becomes a task (its supernodes
+    // are exactly [first_sid, si])
+    std::vector<std::pair<int64_t, int64_t>> tasks;   // [begin, end) sid
+    std::vector<char> in_task(ns, 0);
+    if (nthreads > 1 && ns > 4) {
+        std::vector<std::vector<int64_t>> kids(ns);
+        std::vector<int64_t> sroots;
+        for (int64_t si = 0; si < ns; ++si) {
+            if (sparent[si] >= 0) kids[sparent[si]].push_back(si);
+            else sroots.push_back(si);
+        }
+        std::vector<int64_t> dfs(sroots.rbegin(), sroots.rend());
+        while (!dfs.empty()) {
+            int64_t si = dfs.back();
+            dfs.pop_back();
+            if (weight[si] <= threshold || kids[si].empty()) {
+                tasks.emplace_back(first_sid[si], si + 1);
+                for (int64_t q = first_sid[si]; q <= si; ++q) in_task[q] = 1;
+            } else {
+                for (int64_t c : kids[si]) dfs.push_back(c);
+            }
+        }
+        std::sort(tasks.begin(), tasks.end());
+    }
+
+    std::vector<std::vector<Update<T>>> task_out(tasks.size());
+    std::vector<int64_t> task_status(tasks.size(), 0);
+    std::vector<FactCounters> task_cnt(tasks.size());
+
+    if (!tasks.empty()) {
+        if (g_blas_set_threads) g_blas_set_threads(1);
+#ifdef _OPENMP
+#pragma omp parallel num_threads(nthreads)
+        {
+            std::vector<int64_t> loc(n, -1);
+#pragma omp for schedule(dynamic, 1)
+            for (int64_t t = 0; t < (int64_t)tasks.size(); ++t) {
+                std::vector<Update<T>> stack;
+                for (int64_t si = tasks[t].first; si < tasks[t].second;
+                     ++si) {
+                    int64_t st = process_snode(
+                        h, h->snodes[si], stack, loc, piv_floor, amax,
+                        pivot_rel_eps, task_cnt[t]);
+                    if (st != 0) { task_status[t] = st; break; }
+                }
+                task_out[t] = std::move(stack);
+            }
+        }
+#else
+        {
+            std::vector<int64_t> loc(n, -1);
+            for (int64_t t = 0; t < (int64_t)tasks.size(); ++t) {
+                std::vector<Update<T>> stack;
+                for (int64_t si = tasks[t].first; si < tasks[t].second;
+                     ++si) {
+                    int64_t st = process_snode(
+                        h, h->snodes[si], stack, loc, piv_floor, amax,
+                        pivot_rel_eps, task_cnt[t]);
+                    if (st != 0) { task_status[t] = st; break; }
+                }
+                task_out[t] = std::move(stack);
+            }
+        }
+#endif
+        if (g_blas_set_threads) {
+            int ncpu = (int)sysconf(_SC_NPROCESSORS_ONLN);
+            g_blas_set_threads(ncpu > 0 ? ncpu : 1);
+        }
+        for (int64_t st : task_status)
+            if (st != 0) return st;
+    }
+
+    // sequential top-of-tree pass; seed the stack with the tasks' pending
+    // updates at their postorder positions
+    FactCounters cnt;
+    std::vector<Update<T>> stack;
+    std::vector<int64_t> loc(n, -1);
+    size_t next_task = 0;
+    for (int64_t si = 0; si < ns;) {
+        if (next_task < tasks.size() && tasks[next_task].first == si) {
+            for (auto& u : task_out[next_task])
+                stack.push_back(std::move(u));
+            si = tasks[next_task].second;
+            ++next_task;
+            continue;
+        }
+        int64_t st = process_snode(h, h->snodes[si], stack, loc, piv_floor,
+                                   amax, pivot_rel_eps, cnt);
+        if (st != 0) return st;
+        ++si;
+    }
+    for (const auto& c : task_cnt) {
+        cnt.n_neg += c.n_neg;
+        cnt.n_pos += c.n_pos;
+        cnt.n_zero += c.n_zero;
+        cnt.n_perturbed += c.n_perturbed;
+        cnt.factor_nnz += c.factor_nnz;
+    }
+    h->n_neg = cnt.n_neg;
+    h->n_pos = cnt.n_pos;
+    h->n_zero = cnt.n_zero;
+    h->n_perturbed = cnt.n_perturbed;
+    h->factor_nnz = cnt.factor_nnz;
     h->factorized = true;
     return 0;
 }
@@ -690,6 +866,13 @@ int64_t ldltmf_set_blas(const char* path, const char* prefix) {
         g_zgemm = nullptr;
         g_ztrsm = nullptr;
     }
+    // thread-count control (for the task-parallel subtree phase, where
+    // oversubscribing BLAS threads on top of OpenMP tasks would thrash)
+    g_blas_set_threads =
+        (set_threads_t)dlsym(h, (pre + "openblas_set_num_threads").c_str());
+    if (!g_blas_set_threads)
+        g_blas_set_threads =
+            (set_threads_t)dlsym(h, "openblas_set_num_threads");
     return 0;
 }
 
