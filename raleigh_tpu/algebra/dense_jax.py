@@ -305,6 +305,25 @@ def _k_rootabs(a):
     return jnp.sqrt(jnp.abs(a.real))
 
 
+@jax.jit
+def _k_diag_ratio(a, b):
+    da = jnp.diagonal(a)
+    db = jnp.diagonal(b)
+    r = (da / jnp.where(db == 0, jnp.ones_like(db), db)).real
+    return jnp.where(db == 0, jnp.zeros_like(r), r)
+
+
+def diag_ratio(a, b):
+    """re(diag(a) / diag(b)) without leaving the device (padded rows, where
+    diag(b) is exactly zero, come out as zeros).  Used by the core solver to
+    form residuals with device-resident Ritz values, fusing the
+    Ritz-value and residual-norm round-trips into one."""
+    if not isinstance(a, jax.Array):
+        from .dense_numpy import diag_ratio as host
+        return host(a, b)
+    return _k_diag_ratio(a, jnp.asarray(b))
+
+
 def conjugation_beta(zay, zby, lmd_y, lmdz, sy, sz, dtype):
     """Jacobi-conjugation coefficients, fully on device when the Gram
     blocks were kept there (reference core/solver.py:1331-1347).  Inputs
@@ -509,10 +528,17 @@ class Vectors:
     def scale(self, s, multiply=False):
         f, k = self._sel
         B = bucket(k)
-        sv = np.asarray(s).reshape(-1)[:k]
-        dt = self._array.dtype if np.iscomplexobj(sv) \
-            else _real_dtype(self.data_type())
-        coef = _padv(sv, B, dt)
+        if isinstance(s, jax.Array):
+            # device-resident coefficients (e.g. a kept rootabs(dots()))
+            # stay on device: no host round-trip
+            dt = self._array.dtype if jnp.iscomplexobj(s) \
+                else _real_dtype(self.data_type())
+            coef = _padv(s, B, dt)
+        else:
+            sv = np.asarray(s).reshape(-1)[:k]
+            dt = self._array.dtype if np.iscomplexobj(sv) \
+                else _real_dtype(self.data_type())
+            coef = _padv(sv, B, dt)
         self._array = _k_scale(self._array, f, k, B, coef, multiply)
 
     def dots(self, other, transp=False, keep=False):
@@ -565,10 +591,15 @@ class Vectors:
                                            alpha, qj)
         else:
             B = bucket(k)
-            sv = np.asarray(s).reshape(-1)[:k]
-            dt = self._array.dtype if np.iscomplexobj(sv) \
-                else _real_dtype(self.data_type())
-            coef = _padv(sv, B, dt)
+            if isinstance(s, jax.Array):
+                dt = self._array.dtype if jnp.iscomplexobj(s) \
+                    else _real_dtype(self.data_type())
+                coef = _padv(s, B, dt)
+            else:
+                sv = np.asarray(s).reshape(-1)[:k]
+                dt = self._array.dtype if np.iscomplexobj(sv) \
+                    else _real_dtype(self.data_type())
+                coef = _padv(sv, B, dt)
             self._array = _k_add_rows(self._array, f, other._array,
                                       other._sel[0], k, B, coef)
 

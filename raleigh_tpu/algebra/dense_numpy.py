@@ -257,6 +257,18 @@ def rootabs(a):
     return np.sqrt(np.abs(np.asarray(a).real))
 
 
+def diag_ratio(a, b):
+    """re(diag(a) / diag(b)), zero where diag(b) is exactly zero (padded
+    slots); host counterpart of the device helper in dense_jax.  Returned
+    in float64 so downstream block combinations accumulate exactly like
+    coefficients taken from the solver's float64 ``lmd`` array."""
+    da = np.asarray(a).diagonal()
+    db = np.asarray(b).diagonal()
+    r = np.where(db == 0, np.zeros_like(da), da / np.where(db == 0, 1, db))
+    r = r.real if np.iscomplexobj(r) else r
+    return r.astype(np.float64)
+
+
 def conjugation_beta(zay, zby, lmd_y, lmdz, sy, sz, dtype):
     """Jacobi-conjugation coefficients with the overflow guard
     (reference core/solver.py:1331-1347)."""

@@ -49,7 +49,8 @@ def _backend_helpers(vector):
     round-trips; falls back to the host helpers for third-party backends
     implementing only the plain contract."""
     be = sys.modules.get(type(vector).__module__)
-    if be is not None and hasattr(be, 'fetch') and hasattr(be, 'combine'):
+    if be is not None and hasattr(be, 'fetch') and hasattr(be, 'combine') \
+            and hasattr(be, 'diag_ratio'):
         return be
     from ..algebra import dense_numpy
     return dense_numpy
@@ -573,8 +574,35 @@ class Solver:
             if verb > 0:
                 print('------------- iteration %d' % self.iteration)
 
-            XAX, XBX = be.fetch(AX.dot(BX if pro else X, keep=True),
-                                BX.dot(X, keep=True))
+            def residual_dots(neg_lmd):
+                """W := AX - (B)X*lmd orthogonalized against the constraint
+                set; returns the backend-kept residual-norm dots handle.
+                ``neg_lmd`` may be backend-resident (no host round-trip)."""
+                W.select(nx, ix)
+                Y.select(nx)
+                AX.copy(W)
+                W.add(BX if gen else X, neg_lmd)
+                if Xc.nvec() > 0:
+                    Qc = be.combine(Gci_k,
+                                    W.dot(BXc if pro else Xc, keep=True))
+                    if gen:
+                        W.add(BXc, -1.0, Qc)
+                    else:
+                        W.add(Xc, -1.0, Qc)
+                if pro:
+                    W.copy(Y)
+                    B(Y, W)
+                    return W.dots(Y, keep=True)
+                return W.dots(W, keep=True)
+
+            xax_k = AX.dot(BX if pro else X, keep=True)
+            xbx_k = BX.dot(X, keep=True)
+            # residuals are formed speculatively with backend-resident Ritz
+            # values so their norms ride the same device round-trip as the
+            # Gram matrices (one fetch instead of two per iteration; the
+            # rare restart path below recomputes them)
+            s_k = residual_dots(-be.diag_ratio(xax_k, xbx_k))
+            XAX, XBX, s = be.fetch(xax_k, xbx_k, s_k)
             XAX = XAX[:nx, :nx]
             XBX = XBX[:nx, :nx]
             new_lmd = re(XAX.diagonal() / XBX.diagonal())
@@ -618,6 +646,7 @@ class Solver:
                     XAX = AX.dot(X)
                 XBX = X.dot(X) if std else BX.dot(X)
                 new_lmd = re(XAX.diagonal() / XBX.diagonal())
+                s = be.fetch(residual_dots(-new_lmd))[0]
 
             iterations[ix:ix + nx] += 1
             if rec > 0:
@@ -632,31 +661,9 @@ class Solver:
 
             lmd[ix:ix + nx] = new_lmd
 
-            # residuals: std W = A X - X L, gen W = A X - B X L,
-            #            pro W = A B X - X L
-            W.select(nx, ix)
-            Y.select(nx)
-            AX.copy(W)
-            if gen:
-                W.add(BX, -lmd[ix:ix + nx])
-            else:
-                W.add(X, -lmd[ix:ix + nx])
-
-            if Xc.nvec() > 0:
-                Qc = be.combine(Gci_k,
-                                W.dot(BXc if pro else Xc, keep=True))
-                if gen:
-                    W.add(BXc, -1.0, Qc)
-                else:
-                    W.add(Xc, -1.0, Qc)
-
-            if pro:
-                W.copy(Y)
-                B(Y, W)
-                s = W.dots(Y)
-            else:
-                s = W.dots(W)
-            res[ix:ix + nx] = np.sqrt(np.abs(s))
+            # residual norms (std W = A X - X L, gen W = A X - B X L,
+            # pro W = A B X - X L) were computed by residual_dots above
+            res[ix:ix + nx] = np.sqrt(np.abs(np.asarray(s)[:nx]))
 
             self._estimate_errors(ix, nx, leftX, rightX, block_size, rec,
                                   dlmd, dX, acf, lmd, res, err_lmd, err_X,
@@ -835,17 +842,40 @@ class Solver:
                     xby_k = BY.dot(X, keep=True)
                 yby_k = BY.dot(Y, keep=True)
             nyc = Y.nvec()
-            if nx > 0:
-                XBY, YBY = be.fetch(xby_k, yby_k)
-                XBY = XBY[:nx, :nyc]
-                YBY = YBY[:nyc, :nyc]
-                GB = np.block([[XBX, XBY], [adj(XBY), YBY]])
+
+            # A-images of ALL candidate directions before the linear-
+            # dependence drop, so the A- and B-Gram blocks come back in ONE
+            # device round-trip.  The (rare) dropped directions cost one
+            # wasted operator column each; the saved fetch latency is paid
+            # on every iteration.  The post-drop Gram matrices are then
+            # submatrices of the precomputed ones (Gram entries are pairwise
+            # inner products, so permutation of the basis = permutation of
+            # the matrix).
+            AY.select(nyc)
+            if pro:
+                A(BY, AY)
+                if nx > 0:
+                    xay_k = AY.dot(BX, keep=True)
+                yay_k = AY.dot(BY, keep=True)
             else:
-                YBY = be.fetch(yby_k)[0][:nyc, :nyc]
-                GB = YBY
+                A(Y, AY)
+                if nx > 0:
+                    xay_k = AY.dot(X, keep=True)
+                yay_k = AY.dot(Y, keep=True)
+            if nx > 0:
+                XBY, YBY, XAY, YAY = be.fetch(xby_k, yby_k, xay_k, yay_k)
+                XBY = XBY[:nx, :nyc]
+                XAY = XAY[:nx, :nyc]
+                GB = np.block([[XBX, XBY], [adj(XBY), YBY[:nyc, :nyc]]])
+                GA_full = np.block([[XAX, XAY],
+                                    [adj(XAY), YAY[:nyc, :nyc]]])
+            else:
+                YBY, YAY = be.fetch(yby_k, yay_k)
+                GB = YBY[:nyc, :nyc]
+                GA_full = YAY[:nyc, :nyc]
 
             # drop linearly dependent search directions
-            ny = Y.nvec()
+            ny = nyc
             eps_dep = 1e-3 if single else 1e-8
             U, order, dropped = pivoted_cholesky(GB, nx, eps_dep)
             if dropped > 0 and verb > 0:
@@ -859,34 +889,24 @@ class Solver:
             nxy = nx + ny
             U = U[:nxy, :nxy]
             indy = order[nx:nxy] - nx
-            W.select(ny)
-            Y.copy(W, indy)
-            Y.select(ny)
-            W.copy(Y)
-            AY.select(ny)
-            if not std:
-                BY.copy(W, indy)
-                BY.select(ny)
-                W.copy(BY)
-
-            # A-Gram matrix of (X, Y)
-            if pro:
-                A(BY, AY)
-                if nx > 0:
-                    xay_k = AY.dot(BX, keep=True)
-                yay_k = AY.dot(BY, keep=True)
+            GA = GA_full[np.ix_(order[:nxy], order[:nxy])]
+            if dropped > 0 or not np.array_equal(indy, np.arange(ny)):
+                W.select(ny)
+                Y.copy(W, indy)
+                Y.select(ny)
+                W.copy(Y)
+                AY.copy(W, indy)
+                AY.select(ny)
+                W.copy(AY)
+                if not std:
+                    BY.copy(W, indy)
+                    BY.select(ny)
+                    W.copy(BY)
             else:
-                A(Y, AY)
-                if nx > 0:
-                    xay_k = AY.dot(X, keep=True)
-                yay_k = AY.dot(Y, keep=True)
-            if nx > 0:
-                XAY, YAY = be.fetch(xay_k, yay_k)
-                XAY = XAY[:nx, :ny]
-                YAY = YAY[:ny, :ny]
-                GA = np.block([[XAX, XAY], [adj(XAY), YAY]])
-            else:
-                GA = be.fetch(yay_k)[0][:ny, :ny]
+                Y.select(ny)
+                AY.select(ny)
+                if not std:
+                    BY.select(ny)
 
             # Rayleigh-Ritz in span(X, Y): G = U^-H GA U^-1, pre-rotated by
             # the eigenbasis of its Y-block for numerical stability, then a
