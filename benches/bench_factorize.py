@@ -65,7 +65,8 @@ def main():
     x = s.solve(b)
     t4 = time.time()
     resid = np.abs(a @ x.T - b.T).max()
-    print('analyse (AMD + symbolic): %.2fs' % (t1 - t0))
+    print('analyse (AMD-vs-ND ordering competition + symbolic): %.2fs'
+          % (t1 - t0))
     print('numeric factorize: %.2fs, factor nnz %d' % (t2 - t1,
                                                        s.factor_nnz))
     print('block solve (16 rhs): %.3fs, resid %.2e' % (t4 - t3, resid))

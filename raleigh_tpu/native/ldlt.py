@@ -15,7 +15,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = [os.path.join(_HERE, 'ldlt.cpp'), os.path.join(_HERE, 'amd.cpp'),
-        os.path.join(_HERE, 'mf.cpp')]
+        os.path.join(_HERE, 'nd.cpp'), os.path.join(_HERE, 'mf.cpp')]
 _LIB = os.path.join(_HERE, 'libldlt.so')
 _lock = threading.Lock()
 _lib = None
@@ -78,6 +78,10 @@ def _load():
         lib.ldlt_perturbed.argtypes = [ctypes.c_void_p]
         lib.amd_order.restype = i64
         lib.amd_order.argtypes = [i64, p64, p64, p64]
+        lib.nd_order.restype = i64
+        lib.nd_order.argtypes = [i64, p64, p64, p64]
+        lib.symbolic_lnz.restype = i64
+        lib.symbolic_lnz.argtypes = [i64, p64, p64, p64]
         lib.ldltmf_create.restype = ctypes.c_void_p
         lib.ldltmf_create.argtypes = [i64, p64, p64, pd]
         lib.ldltmf_destroy.argtypes = [ctypes.c_void_p]
@@ -113,21 +117,60 @@ def _load():
         return lib
 
 
+def _pattern64(a):
+    import scipy.sparse as scs
+    a = scs.csc_matrix(a)
+    return (a.shape[0], a.indptr.astype(np.int64),
+            a.indices.astype(np.int64))
+
+
+def _order_native(fn_name, n, ap, ai):
+    lib = _load()
+    perm = np.empty(n, dtype=np.int64)
+    status = getattr(lib, fn_name)(ctypes.c_int64(n), _ptr64(ap),
+                                   _ptr64(ai), _ptr64(perm))
+    if status != 0:
+        raise RuntimeError('%s failed with status %d' % (fn_name, status))
+    return perm
+
+
 def amd_ordering(a):
     """Fill-reducing AMD permutation of a symmetric scipy sparse matrix
     (native amd.cpp)."""
-    import scipy.sparse as scs
+    return _order_native('amd_order', *_pattern64(a))
+
+
+def nd_ordering(a):
+    """Incomplete nested-dissection permutation (native nd.cpp)."""
+    return _order_native('nd_order', *_pattern64(a))
+
+
+def symbolic_factor_nnz(a, perm):
+    """Exact LDL^T factor nnz of P A P^T for a candidate ordering (native
+    elimination-tree column counts; nd.cpp)."""
     lib = _load()
-    a = scs.csc_matrix(a)
-    n = a.shape[0]
-    ap = a.indptr.astype(np.int64)
-    ai = a.indices.astype(np.int64)
-    perm = np.empty(n, dtype=np.int64)
-    status = lib.amd_order(ctypes.c_int64(n), _ptr64(ap), _ptr64(ai),
-                           _ptr64(perm))
-    if status != 0:
-        raise RuntimeError('amd_order failed with status %d' % status)
-    return perm
+    n, ap, ai = _pattern64(a)
+    perm = np.ascontiguousarray(perm, dtype=np.int64)
+    return int(lib.symbolic_lnz(ctypes.c_int64(n), _ptr64(ap), _ptr64(ai),
+                                _ptr64(perm)))
+
+
+def best_ordering(a, verb=0):
+    """AMD and nested-dissection permutations are both cheap next to the
+    numeric factorization; count the exact symbolic fill of each and keep
+    the winner — the same ordering competition PARDISO runs internally."""
+    n, ap, ai = _pattern64(a)
+    perm_amd = _order_native('amd_order', n, ap, ai)
+    perm_nd = _order_native('nd_order', n, ap, ai)
+    lib = _load()
+    f_amd = int(lib.symbolic_lnz(ctypes.c_int64(n), _ptr64(ap), _ptr64(ai),
+                                 _ptr64(perm_amd)))
+    f_nd = int(lib.symbolic_lnz(ctypes.c_int64(n), _ptr64(ap), _ptr64(ai),
+                                _ptr64(perm_nd)))
+    if verb > 0:
+        print('ordering: amd fill %d, nd fill %d -> %s'
+              % (f_amd, f_nd, 'nd' if f_nd < f_amd else 'amd'))
+    return perm_nd if f_nd < f_amd else perm_amd
 
 
 def native_available():
@@ -155,7 +198,7 @@ class SparseLDLT:
     with block RHS, ``inertia`` ~ iparm[21..22].
     """
 
-    def __init__(self, a, pivot_rel_eps=1e-14, ordering='amd', method='mf'):
+    def __init__(self, a, pivot_rel_eps=1e-14, ordering='auto', method='mf'):
         import scipy.sparse as scs
 
         a = scs.csr_matrix(a)
@@ -174,8 +217,12 @@ class SparseLDLT:
             self._pre = 'zldltmf_'
         else:
             self._pre = 'ldltmf_' if method == 'mf' else 'ldlt_'
-        if ordering == 'amd':
+        if ordering == 'auto':
+            perm = best_ordering(a)
+        elif ordering == 'amd':
             perm = amd_ordering(a)
+        elif ordering == 'nd':
+            perm = nd_ordering(a)
         elif ordering == 'rcm':
             from scipy.sparse.csgraph import reverse_cuthill_mckee
             perm = np.asarray(reverse_cuthill_mckee(a, symmetric_mode=True),
