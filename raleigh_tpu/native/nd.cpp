@@ -158,24 +158,42 @@ void dissect(Ctx& c, std::vector<int64_t> S, int64_t t) {
         return;
     }
 
-    // split; thin the separator: a level-k vertex with no neighbor on
-    // the A side does not separate and joins B
-    std::vector<int64_t> A, B, sep;
+    // split; thin the separator from both sides: a level-k vertex with no
+    // neighbor in level k-1 does not separate and joins B (its neighbors
+    // are all in levels k / k+1); after that, a remaining one with no
+    // neighbor in level k+1 nor among the just-moved vertices joins A
+    std::vector<int64_t> A, B, sep, Lk;
     A.reserve(below[best_k]);
     B.reserve(m - below[best_k + 1]);
     for (int64_t v : comp) {
         int64_t l = c.lev[v];
         if (l < best_k) A.push_back(v);
         else if (l > best_k) B.push_back(v);
-        else {
-            bool touches_a = false;
-            for (int64_t p = c.xadj[v]; p < c.xadj[v + 1] && !touches_a;
-                 ++p) {
-                int64_t w = c.adjv[p];
-                touches_a = (c.tag[w] == t && c.lev[w] == best_k - 1);
-            }
-            (touches_a ? sep : B).push_back(v);
+        else Lk.push_back(v);
+    }
+    ++c.epoch;                         // stamp = moved to B
+    for (int64_t v : Lk) {
+        bool touches_a = false;
+        for (int64_t p = c.xadj[v]; p < c.xadj[v + 1] && !touches_a; ++p) {
+            int64_t w = c.adjv[p];
+            touches_a = (c.tag[w] == t && c.lev[w] == best_k - 1);
         }
+        if (!touches_a) {
+            B.push_back(v);
+            c.seen[v] = c.epoch;
+        }
+    }
+    for (int64_t v : Lk) {
+        if (c.seen[v] == c.epoch) continue;
+        bool touches_b = false;
+        for (int64_t p = c.xadj[v]; p < c.xadj[v + 1] && !touches_b; ++p) {
+            int64_t w = c.adjv[p];
+            touches_b = (c.tag[w] == t
+                         && (c.lev[w] == best_k + 1
+                             || (c.lev[w] == best_k
+                                 && c.seen[w] == c.epoch)));
+        }
+        (touches_b ? sep : A).push_back(v);
     }
     if (A.empty() || B.empty() || sep.empty()) {
         order_leaf(c, S, t);
