@@ -751,19 +751,13 @@ int64_t mf_factorize(MfHandle<T>* h, double pivot_rel_eps) {
     return 0;
 }
 
-// Solve (P^T L D L^H P) X = B where P is the internal postorder; b/x are
-// RHS-contiguous (n rows x nrhs) in the caller's (pre-postorder) labels.
+// Solve sweeps over a contiguous slab of right-hand-side columns
+// (y + n*rr0, nrhs columns).  Column slabs are independent, so
+// mf_solve parallelizes over them with one task per thread.
 template <typename T>
-void mf_solve(MfHandle<T>* h, int64_t nrhs, const T* b, T* x) {
+void mf_solve_slab(MfHandle<T>* h, int64_t nrhs, T* y) {
     const int64_t n = h->n;
     const char CT[2] = {Blas<T>::CT, 0};
-    // y (column-major n x nrhs) in postorder labels
-    std::vector<T> y((size_t)n * nrhs);
-    for (int64_t i = 0; i < n; ++i) {
-        int64_t ip = h->post[i];
-        for (int64_t rr = 0; rr < nrhs; ++rr)
-            y[(size_t)rr * n + ip] = b[(size_t)i * nrhs + rr];
-    }
     std::vector<T> t1, t2;
     int nr = (int)nrhs;
     // forward: L z = y  (gather y1 column-major, trsm, scatter; one gemm
@@ -835,6 +829,48 @@ void mf_solve(MfHandle<T>* h, int64_t nrhs, const T* b, T* x) {
         for (int64_t rr = 0; rr < nrhs; ++rr)
             for (int64_t j = 0; j < w; ++j)
                 y[(size_t)rr * n + s.c0 + j] = t1[(size_t)rr * w + j];
+    }
+}
+
+// Solve (P^T L D L^H P) X = B where P is the internal postorder; b/x are
+// RHS-contiguous (n rows x nrhs) in the caller's (pre-postorder) labels.
+// Parallelized over RHS column slabs: each thread runs the full
+// supernodal sweeps on its own contiguous slice of y (no shared writes),
+// with single-threaded BLAS inside the tasks.
+template <typename T>
+void mf_solve(MfHandle<T>* h, int64_t nrhs, const T* b, T* x) {
+    const int64_t n = h->n;
+    // y (column-major n x nrhs) in postorder labels
+    std::vector<T> y((size_t)n * nrhs);
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t ip = h->post[i];
+        for (int64_t rr = 0; rr < nrhs; ++rr)
+            y[(size_t)rr * n + ip] = b[(size_t)i * nrhs + rr];
+    }
+    int nthreads = 1;
+#ifdef _OPENMP
+    nthreads = std::min(std::min(omp_get_max_threads(),
+                                 omp_get_num_procs()), 8);
+    nthreads = (int)std::min<int64_t>(nthreads, nrhs);
+#endif
+    if (nthreads > 1) {
+        if (g_blas_set_threads) g_blas_set_threads(1);
+#ifdef _OPENMP
+        int64_t chunk = (nrhs + nthreads - 1) / nthreads;
+#pragma omp parallel for num_threads(nthreads) schedule(static, 1)
+        for (int64_t c = 0; c < nthreads; ++c) {
+            int64_t rr0 = c * chunk;
+            int64_t nrr = std::min<int64_t>(chunk, nrhs - rr0);
+            if (nrr > 0)
+                mf_solve_slab(h, nrr, y.data() + (size_t)rr0 * n);
+        }
+#endif
+        if (g_blas_set_threads) {
+            int ncpu = (int)sysconf(_SC_NPROCESSORS_ONLN);
+            g_blas_set_threads(ncpu > 0 ? ncpu : 1);
+        }
+    } else {
+        mf_solve_slab(h, nrhs, y.data());
     }
     for (int64_t i = 0; i < n; ++i) {
         int64_t ip = h->post[i];
