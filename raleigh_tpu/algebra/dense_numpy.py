@@ -49,7 +49,11 @@ class Vectors:
             dt = np.float64 if data_type is None else data_type
             self._array = np.zeros((nvec, int(arg)), dtype=dt)
         else:
-            raise ValueError('cannot build Vectors from %r' % type(arg))
+            # accept any array-like (e.g. a jax.Array): fetch to host
+            try:
+                self._array = np.ascontiguousarray(arg)
+            except Exception:
+                raise ValueError('cannot build Vectors from %r' % type(arg))
         m, _n = self._array.shape
         self._sel = (0, m)
 
@@ -192,7 +196,12 @@ class Matrix:
     def __init__(self, arg):
         data = arg.data() if isinstance(arg, Vectors) else arg
         if not isinstance(data, np.ndarray):
-            raise ValueError('cannot build Matrix from %r' % type(arg))
+            # accept any array-like (e.g. a jax.Array produced on device
+            # and handed to the host backend): fetch to host memory
+            try:
+                data = np.ascontiguousarray(data)
+            except Exception:
+                raise ValueError('cannot build Matrix from %r' % type(arg))
         if data.flags['C_CONTIGUOUS']:
             self._order = 'C_CONTIGUOUS'
         elif data.flags['F_CONTIGUOUS']:

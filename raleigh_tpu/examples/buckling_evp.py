@@ -16,8 +16,14 @@ import numpy as np
 import scipy.sparse as scs
 
 
+if __package__ in (None, ''):     # runnable as a plain script
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), '..', '..'))
+
 def synthetic_pencil(nx=60, ny=60):
-    from .laplace import lap2d
+    from raleigh_tpu.examples.laplace import lap2d
     k = lap2d(nx, ny, 1.0, 1.0)
     n = k.shape[0]
     rng = np.random.RandomState(1)
@@ -26,7 +32,7 @@ def synthetic_pencil(nx=60, ny=60):
 
 
 def run(nev=3, sigma=-10.0, matrices=None, tol=1e-4, verb=0):
-    from ..interfaces.partial_hevp import partial_hevp
+    from raleigh_tpu.interfaces.partial_hevp import partial_hevp
 
     if matrices is None:
         K, Ks = synthetic_pencil()

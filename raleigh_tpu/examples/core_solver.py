@@ -18,8 +18,14 @@ import sys
 
 import numpy as np
 
-from ..core.solver import (Options, Problem, Solver,
-                           DefaultConvergenceCriteria)
+if __package__ in (None, ''):     # runnable as a plain script
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), '..', '..'))
+
+from raleigh_tpu.core.solver import (Options, Problem, Solver,
+                                     DefaultConvergenceCriteria)
 
 _DTYPES = {'s': np.float32, 'd': np.float64,
            'c': np.complex64, 'z': np.complex128}
@@ -32,9 +38,9 @@ def run(problem='std', matrix='diag', n=100, dt='d', left=6, right=0,
         np.random.seed(seed)
     dtype = _DTYPES[dt]
     if str(arch).lower().startswith(('tpu', 'gpu', 'jax')):
-        from ..algebra import dense_jax as backend
+        from raleigh_tpu.algebra import dense_jax as backend
     else:
-        from ..algebra import dense_numpy as backend
+        from raleigh_tpu.algebra import dense_numpy as backend
 
     opt = Options()
     opt.block_size = block_size

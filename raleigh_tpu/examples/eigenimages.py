@@ -21,6 +21,12 @@ import time
 import numpy as np
 
 
+if __package__ in (None, ''):     # runnable as a plain script
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), '..', '..'))
+
 def synthetic(m=12000, n=39375, rank=2048, seed=1):
     import jax
     import jax.numpy as jnp
@@ -36,7 +42,7 @@ def synthetic(m=12000, n=39375, rank=2048, seed=1):
 
 
 def run(npc=800, source='synthetic', arch='tpu', batch=None, verb=0):
-    from ..interfaces.pca import pca
+    from raleigh_tpu.interfaces.pca import pca
 
     if source == 'synthetic':
         data = synthetic()

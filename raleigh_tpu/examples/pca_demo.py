@@ -15,8 +15,14 @@ import time
 import numpy as np
 
 
+if __package__ in (None, ''):     # runnable as a plain script
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), '..', '..'))
+
 def _data(m, n, rank):
-    from .generate_matrix import generate
+    from raleigh_tpu.examples.generate_matrix import generate
     np.random.seed(1)
     A, sigma0, u0, v0 = generate(m, n, rank, pca=True)
     return A
@@ -24,7 +30,7 @@ def _data(m, n, rank):
 
 def run(mode='simple', m=3000, n=2000, rank=1000, npc=300, arch='cpu',
         tol=0.05, verb=0):
-    from ..interfaces.pca import pca, pca_error
+    from raleigh_tpu.interfaces.pca import pca, pca_error
 
     A = _data(m, n, rank)
     print('data: %d samples x %d features' % (m, n))

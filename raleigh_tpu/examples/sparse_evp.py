@@ -16,10 +16,16 @@ import time
 import numpy as np
 
 
+if __package__ in (None, ''):     # runnable as a plain script
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), '..', '..'))
+
 def run(nev=6, sigma=0.0, source='lap3d', tol=1e-4, verb=0,
         compare_eigsh=True, lap_dims=(30, 30, 30, 1.0, 1.01, 1.02)):
-    from .laplace import lap3d
-    from ..interfaces.partial_hevp import partial_hevp
+    from raleigh_tpu.examples.laplace import lap3d
+    from raleigh_tpu.interfaces.partial_hevp import partial_hevp
 
     if source == 'lap3d':
         nx, ny, nz, ax, ay, az = lap_dims

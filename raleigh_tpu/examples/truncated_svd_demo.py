@@ -12,9 +12,15 @@ import time
 import numpy as np
 
 
+if __package__ in (None, ''):     # runnable as a plain script
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), '..', '..'))
+
 def run(m=2000, n=1000, rank=400, nsv=100, arch='cpu'):
-    from .generate_matrix import generate
-    from ..interfaces.truncated_svd import truncated_svd
+    from raleigh_tpu.examples.generate_matrix import generate
+    from raleigh_tpu.interfaces.truncated_svd import truncated_svd
 
     np.random.seed(1)
     A, sigma0, u0, v0 = generate(m, n, rank)
@@ -39,4 +45,4 @@ def run(m=2000, n=1000, rank=400, nsv=100, arch='cpu'):
 
 if __name__ == '__main__':
     a = sys.argv[1:]
-    run(*(int(x) for x in a[:4]), *(a[4:5] or ['cpu']))
+    run(*(int(x) for x in a[:4]), arch=(a[4] if len(a) > 4 else 'cpu'))
