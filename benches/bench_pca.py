@@ -8,10 +8,15 @@ Prints one JSON line per engine.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                '..'))
+
 
 
 def run(m=4000, n=6000, npc=300, engines=('jacobi-cpu', 'subspace',

@@ -10,10 +10,15 @@ Prints one JSON line.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                '..'))
+
 
 
 def run(n1d=30, nev=10, path=None):

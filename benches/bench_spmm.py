@@ -14,10 +14,15 @@ row segment; on a v5e (~800 GB/s) with block width m the bound is roughly
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                '..'))
+
 
 
 def run(n1d=48, m=32, reps=20):

@@ -22,9 +22,12 @@ if __package__ in (None, ''):     # runnable as a plain script
     _sys.path.insert(0, _os.path.join(
         _os.path.dirname(_os.path.abspath(__file__)), '..', '..'))
 
-def synthetic_pencil(nx=60, ny=60):
-    from raleigh_tpu.examples.laplace import lap2d
-    k = lap2d(nx, ny, 1.0, 1.0)
+def synthetic_pencil(nx=40, ny=40, nz=40):
+    """Stiffness/stress-like pencil with 3D-FE fill structure (the regime
+    of the reference's panel_buckle benchmarks, README.md:22-25, where a
+    factorization per ARPACK solve is the expensive part)."""
+    from raleigh_tpu.examples.laplace import lap3d
+    k = lap3d(nx, ny, nz, 1.0, 1.0, 1.0)
     n = k.shape[0]
     rng = np.random.RandomState(1)
     ks = scs.diags(-(1.0 + rng.rand(n)), format='csr')
