@@ -19,6 +19,8 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#include <queue>
+#include <tuple>
 #include <algorithm>
 
 extern "C" int64_t amd_order(int64_t n, const int64_t* Ap, const int64_t* Ai,
@@ -28,12 +30,14 @@ namespace {
 
 struct Ctx {
     int64_t n = 0;
+    int64_t leaf = 160;                // MD-takeover subgraph size
     std::vector<int64_t> xadj, adjv;   // symmetric adjacency, no diagonal
     std::vector<int64_t> tag;          // vertex -> active subgraph tag
     std::vector<int64_t> seen;         // BFS visit stamps
     std::vector<int64_t> lev;          // BFS levels
     std::vector<int64_t> loc;          // vertex -> local index scratch
     std::vector<int64_t> out;          // out[pos] = vertex
+    std::vector<int8_t> side;          // FM refinement: 0=A, 1=B, 2=sep
     int64_t next_pos = 0;
     int64_t next_tag = 1;
     int64_t epoch = 0;
@@ -90,13 +94,131 @@ void order_leaf(Ctx& c, const std::vector<int64_t>& S, int64_t t) {
         c.out[c.next_pos++] = S[c.lperm[k]];
 }
 
-// leaf size below which minimum degree takes over: ND's asymptotic win
-// only materializes on subgraphs with real separators
-const int64_t LEAF = 160;
+// Fiduccia-Mattheyses refinement of a vertex separator.  Moves separator
+// vertices into A or B (pulling the opposite side's neighbors into the
+// separator to keep it a separator), accepting negative-gain moves and
+// rolling back to the best state seen — the hill-climbing that closes
+// most of the fill gap between raw level-set separators and METIS-grade
+// ones on irregular meshes.  Invariant maintained throughout: no edge
+// joins A and B.
+void fm_refine(Ctx& c, std::vector<int64_t>& A, std::vector<int64_t>& B,
+               std::vector<int64_t>& sep, int64_t t) {
+    const int8_t SA = 0, SB = 1, SS = 2;
+    const int64_t m = (int64_t)(A.size() + B.size() + sep.size());
+    if (sep.empty() || m < 4) return;
+    std::vector<int64_t> members;
+    members.reserve(m);
+    for (int64_t v : A) { c.side[v] = SA; members.push_back(v); }
+    for (int64_t v : B) { c.side[v] = SB; members.push_back(v); }
+    for (int64_t v : sep) { c.side[v] = SS; members.push_back(v); }
+    int64_t na = (int64_t)A.size(), nb = (int64_t)B.size();
+    int64_t ns = (int64_t)sep.size();
+    const int64_t min_part = std::max<int64_t>(1, m / 8);
+
+    // moving v (side SS) toward ``to`` pulls its opposite-side neighbors
+    // into the separator: gain in separator size = 1 - #pulls
+    auto gain = [&](int64_t v, int8_t to) -> int64_t {
+        int8_t other = (to == SA) ? SB : SA;
+        int64_t pulls = 0;
+        for (int64_t p = c.xadj[v]; p < c.xadj[v + 1]; ++p) {
+            int64_t w = c.adjv[p];
+            if (c.tag[w] == t && c.side[w] == other) ++pulls;
+        }
+        return 1 - pulls;
+    };
+
+    struct Rec {
+        int64_t v;
+        int8_t to;
+        int64_t pull_begin, pull_end;
+    };
+    std::vector<Rec> log;
+    std::vector<int64_t> pulled;
+    bool improved_any = true;
+    for (int pass = 0; pass < 8 && improved_any; ++pass) {
+        improved_any = false;
+        ++c.epoch;                              // ``moved`` lock stamp
+        log.clear();
+        pulled.clear();
+        std::priority_queue<std::tuple<int64_t, int64_t, int8_t>> heap;
+        for (int64_t v : members)
+            if (c.side[v] == SS) {
+                heap.emplace(gain(v, SA), v, SA);
+                heap.emplace(gain(v, SB), v, SB);
+            }
+        int64_t best_ns = ns, best_bal = std::max(na, nb);
+        size_t best_len = 0;
+        int64_t budget = 2 * ns + 64;
+        while (!heap.empty() && budget > 0) {
+            auto [g, v, to] = heap.top();
+            heap.pop();
+            if (c.side[v] != SS || c.seen[v] == c.epoch) continue;
+            int64_t g2 = gain(v, to);
+            if (g2 != g) {                      // stale entry: refresh
+                heap.emplace(g2, v, to);
+                continue;
+            }
+            int64_t pulls = 1 - g;
+            int64_t na2 = (to == SA) ? na + 1 : na - pulls;
+            int64_t nb2 = (to == SA) ? nb - pulls : nb + 1;
+            if (std::min(na2, nb2) < min_part) continue;
+            // apply the move
+            --budget;
+            Rec r{v, to, (int64_t)pulled.size(), 0};
+            int8_t other = (to == SA) ? SB : SA;
+            c.side[v] = to;
+            c.seen[v] = c.epoch;
+            for (int64_t p = c.xadj[v]; p < c.xadj[v + 1]; ++p) {
+                int64_t w = c.adjv[p];
+                if (c.tag[w] != t || c.side[w] != other) continue;
+                c.side[w] = SS;
+                pulled.push_back(w);
+                if (c.seen[w] != c.epoch) {
+                    heap.emplace(gain(w, SA), w, SA);
+                    heap.emplace(gain(w, SB), w, SB);
+                }
+            }
+            r.pull_end = (int64_t)pulled.size();
+            log.push_back(r);
+            na = na2;
+            nb = nb2;
+            ns = ns - 1 + pulls;
+            if (ns < best_ns
+                || (ns == best_ns && std::max(na, nb) < best_bal)) {
+                if (ns < best_ns) improved_any = true;
+                best_ns = ns;
+                best_bal = std::max(na, nb);
+                best_len = log.size();
+            }
+        }
+        // roll back past the best point (reverse order restores exactly)
+        while (log.size() > best_len) {
+            const Rec& r = log.back();
+            int8_t other = (r.to == SA) ? SB : SA;
+            for (int64_t q = r.pull_end - 1; q >= r.pull_begin; --q)
+                c.side[pulled[q]] = other;
+            c.side[r.v] = SS;
+            if (r.to == SA) { --na; nb += r.pull_end - r.pull_begin; }
+            else { --nb; na += r.pull_end - r.pull_begin; }
+            ns = ns + 1 - (r.pull_end - r.pull_begin);
+            pulled.resize(r.pull_begin);
+            log.pop_back();
+        }
+    }
+    A.clear();
+    B.clear();
+    sep.clear();
+    for (int64_t v : members) {
+        if (c.side[v] == SA) A.push_back(v);
+        else if (c.side[v] == SB) B.push_back(v);
+        else sep.push_back(v);
+    }
+}
+
 
 void dissect(Ctx& c, std::vector<int64_t> S, int64_t t) {
     const int64_t m = (int64_t)S.size();
-    if (m <= LEAF) {
+    if (m <= c.leaf) {
         order_leaf(c, S, t);
         return;
     }
@@ -199,6 +321,11 @@ void dissect(Ctx& c, std::vector<int64_t> S, int64_t t) {
         order_leaf(c, S, t);
         return;
     }
+    fm_refine(c, A, B, sep, t);
+    if (A.empty() || B.empty()) {
+        order_leaf(c, S, t);
+        return;
+    }
     int64_t ta = c.next_tag++;
     int64_t tb = c.next_tag++;
     int64_t ts = c.next_tag++;
@@ -232,6 +359,31 @@ int64_t etree_fill(int64_t n, const std::vector<int64_t>& Ap,
     return total;
 }
 
+// run the whole dissection pipeline on the adjacency already loaded in
+// ``c``; fills c.out with the ordering
+int64_t run_dissect(Ctx& c) {
+    const int64_t n = c.n;
+    c.tag.assign(n, 0);
+    c.side.assign(n, -1);
+    c.seen.assign(n, -1);
+    c.lev.assign(n, 0);
+    c.loc.assign(n, -1);
+    c.out.assign(n, -1);
+    c.next_pos = 0;
+    c.next_tag = 1;
+    std::vector<int64_t> all(n);
+    for (int64_t v = 0; v < n; ++v) all[v] = v;
+    dissect(c, std::move(all), 0);
+    return (c.next_pos == n) ? 0 : -1;
+}
+
+uint64_t splitmix64(uint64_t x) {
+    x += 0x9e3779b97f4a7c15ULL;
+    x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ULL;
+    x = (x ^ (x >> 27)) * 0x94d049bb133111ebULL;
+    return x ^ (x >> 31);
+}
+
 }  // namespace
 
 extern "C" {
@@ -243,7 +395,6 @@ int64_t nd_order(int64_t n, const int64_t* Ap, const int64_t* Ai,
     c.n = n;
     // symmetrized adjacency without the diagonal
     std::vector<int64_t> deg(n, 0);
-    int64_t nnz = Ap[n];
     for (int64_t j = 0; j < n; ++j)
         for (int64_t p = Ap[j]; p < Ap[j + 1]; ++p) {
             int64_t i = Ai[p];
@@ -278,18 +429,116 @@ int64_t nd_order(int64_t n, const int64_t* Ap, const int64_t* Ai,
         c.xadj = std::move(xnew);
         c.adjv.resize(c.xadj[n]);
     }
-    (void)nnz;
-    c.tag.assign(n, 0);
-    c.seen.assign(n, -1);
-    c.lev.assign(n, 0);
-    c.loc.assign(n, -1);
-    c.out.assign(n, -1);
-    std::vector<int64_t> all(n);
-    for (int64_t v = 0; v < n; ++v) all[v] = v;
-    dissect(c, std::move(all), 0);
-    if (c.next_pos != n) return -1;
-    std::memcpy(perm, c.out.data(), sizeof(int64_t) * n);
-    return 0;
+
+    // Supervariable compression: vertices with identical closed
+    // neighborhoods N[v] = N(v) ∪ {v} are indistinguishable for fill (FE
+    // matrices with d dofs/node compress ~d×).  Dissect the quotient graph
+    // — separators then align with mesh nodes — and expand members
+    // consecutively at the end.
+    std::vector<int64_t> leader(n);
+    int64_t n_groups = 0;
+    {
+        std::vector<uint64_t> h(n);
+        for (int64_t v = 0; v < n; ++v) {
+            uint64_t s = splitmix64((uint64_t)v);
+            for (int64_t p = c.xadj[v]; p < c.xadj[v + 1]; ++p)
+                s += splitmix64((uint64_t)c.adjv[p]);
+            h[v] = s;
+        }
+        std::vector<int64_t> byh(n);
+        for (int64_t v = 0; v < n; ++v) byh[v] = v;
+        std::sort(byh.begin(), byh.end(), [&](int64_t a, int64_t b) {
+            return h[a] < h[b] || (h[a] == h[b] && a < b);
+        });
+        // exact closed-neighborhood equality (degrees equal + merged walk
+        // treating the self vertex as an inserted element)
+        auto closed_eq = [&](int64_t u, int64_t v) -> bool {
+            int64_t du = c.xadj[u + 1] - c.xadj[u];
+            int64_t dv = c.xadj[v + 1] - c.xadj[v];
+            if (du != dv) return false;
+            int64_t pu = c.xadj[u], pv = c.xadj[v];
+            int64_t eu = c.xadj[u + 1], ev = c.xadj[v + 1];
+            bool su = false, sv = false;   // self id consumed
+            for (int64_t k = 0; k < du + 1; ++k) {
+                int64_t a = (pu < eu) ? c.adjv[pu] : INT64_MAX;
+                if (!su && u < a) { a = u; su = true; } else ++pu;
+                int64_t b = (pv < ev) ? c.adjv[pv] : INT64_MAX;
+                if (!sv && v < b) { b = v; sv = true; } else ++pv;
+                if (a != b) return false;
+            }
+            return true;
+        };
+        for (int64_t i = 0; i < n; ++i) {
+            int64_t v = byh[i];
+            leader[v] = v;
+            for (int64_t j = i - 1;
+                 j >= 0 && h[byh[j]] == h[v] && i - j <= 16; --j) {
+                int64_t u = byh[j];
+                if (leader[u] == u && closed_eq(u, v)) {
+                    leader[v] = u;
+                    break;
+                }
+            }
+            if (leader[v] == v) ++n_groups;
+        }
+    }
+
+    if (n_groups > (9 * n) / 10) {
+        // compression not worthwhile: dissect the full graph directly
+        if (run_dissect(c) != 0) return -1;
+        std::memcpy(perm, c.out.data(), sizeof(int64_t) * n);
+        return 0;
+    }
+
+    // build the quotient graph
+    std::vector<int64_t> gid(n, -1);        // vertex -> supervariable id
+    std::vector<int64_t> reps;
+    reps.reserve(n_groups);
+    for (int64_t v = 0; v < n; ++v)
+        if (leader[v] == v) {
+            gid[v] = (int64_t)reps.size();
+            reps.push_back(v);
+        }
+    for (int64_t v = 0; v < n; ++v) gid[v] = gid[leader[v]];
+    // members grouped by supervariable (counting sort preserving id order)
+    std::vector<int64_t> gcount(n_groups + 1, 0);
+    for (int64_t v = 0; v < n; ++v) gcount[gid[v] + 1]++;
+    for (int64_t g = 0; g < n_groups; ++g) gcount[g + 1] += gcount[g];
+    std::vector<int64_t> gmem(n);
+    {
+        std::vector<int64_t> next(gcount.begin(), gcount.end() - 1);
+        for (int64_t v = 0; v < n; ++v) gmem[next[gid[v]]++] = v;
+    }
+    Ctx q;
+    q.n = n_groups;
+    // keep the MD-takeover threshold in *original* vertices: a quotient
+    // leaf of leaf/ratio supervariables expands to ~leaf vertices
+    q.leaf = std::max<int64_t>(32, (c.leaf * n_groups) / n);
+    q.xadj.assign(n_groups + 1, 0);
+    q.adjv.clear();
+    q.adjv.reserve(c.xadj[n] / 2);
+    // indistinguishable vertices share the neighborhood, so the
+    // representative's adjacency suffices
+    for (int64_t g = 0; g < n_groups; ++g) {
+        int64_t v = reps[g];
+        int64_t start = (int64_t)q.adjv.size();
+        for (int64_t p = c.xadj[v]; p < c.xadj[v + 1]; ++p) {
+            int64_t wg = gid[c.adjv[p]];
+            if (wg != g) q.adjv.push_back(wg);
+        }
+        std::sort(q.adjv.begin() + start, q.adjv.end());
+        q.adjv.erase(std::unique(q.adjv.begin() + start, q.adjv.end()),
+                     q.adjv.end());
+        q.xadj[g + 1] = (int64_t)q.adjv.size();
+    }
+    if (run_dissect(q) != 0) return -1;
+    int64_t pos = 0;
+    for (int64_t k = 0; k < n_groups; ++k) {
+        int64_t g = q.out[k];
+        for (int64_t p = gcount[g]; p < gcount[g + 1]; ++p)
+            perm[pos++] = gmem[p];
+    }
+    return (pos == n) ? 0 : -1;
 }
 
 int64_t symbolic_lnz(int64_t n, const int64_t* Ap, const int64_t* Ai,
