@@ -33,11 +33,18 @@ _EXPORTS = {
     'pca_error': 'raleigh_tpu.interfaces.pca',
     'LowerRankApproximation': 'raleigh_tpu.interfaces.lra',
     'PartialSVD': 'raleigh_tpu.interfaces.partial_svd',
+    'DefaultStoppingCriteria': 'raleigh_tpu.interfaces.truncated_svd',
+    'UserStoppingCriteria': 'raleigh_tpu.interfaces.truncated_svd',
+    'DefaultProbe': 'raleigh_tpu.interfaces.truncated_svd',
+    'TruncatedSVDErrorCalculator': 'raleigh_tpu.interfaces.truncated_svd',
     'AMatrix': 'raleigh_tpu.algebra.dense',
     'lobpcg': 'raleigh_tpu.core.device_solver',
     'Chebyshev': 'raleigh_tpu.algebra.sparse',
     'spectral_bounds': 'raleigh_tpu.algebra.sparse',
 }
+
+
+__all__ = sorted(_EXPORTS)
 
 
 def __getattr__(name):
@@ -46,3 +53,7 @@ def __getattr__(name):
         mod = importlib.import_module(_EXPORTS[name])
         return getattr(mod, name)
     raise AttributeError(name)
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_EXPORTS))
