@@ -158,15 +158,26 @@ def symbolic_factor_nnz(a, perm):
 def best_ordering(a, verb=0):
     """AMD and nested-dissection permutations are both cheap next to the
     numeric factorization; count the exact symbolic fill of each and keep
-    the winner — the same ordering competition PARDISO runs internally."""
+    the winner — the same ordering competition PARDISO runs internally.
+    The two candidates (and their exact fill counts) run concurrently:
+    ctypes releases the GIL, so the competition costs one ordering, not
+    two, in wall-clock."""
+    from concurrent.futures import ThreadPoolExecutor
+
     n, ap, ai = _pattern64(a)
-    perm_amd = _order_native('amd_order', n, ap, ai)
-    perm_nd = _order_native('nd_order', n, ap, ai)
     lib = _load()
-    f_amd = int(lib.symbolic_lnz(ctypes.c_int64(n), _ptr64(ap), _ptr64(ai),
-                                 _ptr64(perm_amd)))
-    f_nd = int(lib.symbolic_lnz(ctypes.c_int64(n), _ptr64(ap), _ptr64(ai),
-                                _ptr64(perm_nd)))
+
+    def _candidate(fn_name):
+        perm = _order_native(fn_name, n, ap, ai)
+        fill = int(lib.symbolic_lnz(ctypes.c_int64(n), _ptr64(ap),
+                                    _ptr64(ai), _ptr64(perm)))
+        return perm, fill
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_amd = pool.submit(_candidate, 'amd_order')
+        fut_nd = pool.submit(_candidate, 'nd_order')
+        perm_amd, f_amd = fut_amd.result()
+        perm_nd, f_nd = fut_nd.result()
     if verb > 0:
         print('ordering: amd fill %d, nd fill %d -> %s'
               % (f_amd, f_nd, 'nd' if f_nd < f_amd else 'amd'))
