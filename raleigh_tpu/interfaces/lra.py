@@ -165,9 +165,13 @@ class LowerRankApproximation:
             vdiff.scale(s1)
             e0v = v.new_vectors(e0.T)
             left0.add(e0v, 1.0, diff0)
-            e0v.scale(s1, multiply=True)
-            left0.append(e0v)
-            right0.append(vdiff)
+            if right0.nvec() < right0.dimension():
+                # out-of-span part of the mean change; exactly zero (up to
+                # rounding) when the old basis already spans the space, in
+                # which case appending would overflow the feature dimension
+                e0v.scale(s1, multiply=True)
+                left0.append(e0v)
+                right0.append(vdiff)
             vmean = v.new_vectors(mean.astype(dtype))
             v.add(vmean, -1.0, e1.T)
         else:
@@ -201,15 +205,25 @@ class LowerRankApproximation:
         left11 = lra_new.left_v()
         right10 = lra_new.right_v()
 
+        # the merged basis cannot exceed the feature dimension: cap the
+        # appended new components (sorted descending, so keeping the head
+        # is the right truncation) — an overcomplete block would break the
+        # SVD re-orthonormalization downstream
+        avail = right0.dimension() - right0.nvec()
+        if left11.nvec() > avail:
+            left11.select(max(avail, 0))
+            right10.select(max(avail, 0))
+
         # merge: grow left0 with zero block, stack rows, append new comps
         new = left11.nvec()
-        pad = left0.new_vectors(new)
-        pad.zero()
-        left0.append(pad)
-        left1.append(left11)
+        if new > 0:
+            pad = left0.new_vectors(new)
+            pad.zero()
+            left0.append(pad)
+            left1.append(left11)
+            right0.append(right10)
         merged = np.concatenate((left0.data(), left1.data()), axis=1)
         left0 = left0.new_vectors(merged)
-        right0.append(right10)
         self.__left_v = left0
         self.__right_v = right0
 
