@@ -39,6 +39,8 @@ _EXPORTS = {
     'TruncatedSVDErrorCalculator': 'raleigh_tpu.interfaces.truncated_svd',
     'AMatrix': 'raleigh_tpu.algebra.dense',
     'lobpcg': 'raleigh_tpu.core.device_solver',
+    'subspace_pca': 'raleigh_tpu.interfaces.randomized',
+    'randomized_svd': 'raleigh_tpu.interfaces.randomized',
     'Chebyshev': 'raleigh_tpu.algebra.sparse',
     'spectral_bounds': 'raleigh_tpu.algebra.sparse',
 }

@@ -622,6 +622,10 @@ class Vectors:
         (raleigh/interfaces/partial_svd.py:162-235) — instead of a
         monolithic host gesvd (dense_cublas.py:537)."""
         f, k = self._sel
+        if k > self.dimension():
+            raise ValueError(
+                'cannot orthonormalize %d vectors in a %d-dimensional '
+                'space; truncate the block first' % (k, self.dimension()))
         dt = self.data_type()
         g = np.conj(self.dot(self))                     # X X^H
         g = 0.5 * (g + g.conj().T)

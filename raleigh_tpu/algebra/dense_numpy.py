@@ -179,6 +179,11 @@ class Vectors:
         return self.new_vectors(q)
 
     def svd(self):
+        if self.nvec() > self.dimension():
+            raise ValueError(
+                'cannot orthonormalize %d vectors in a %d-dimensional '
+                'space; truncate the block first' %
+                (self.nvec(), self.dimension()))
         u, sigma, vh = np.linalg.svd(self.data(), full_matrices=False)
         self.data()[:, :] = vh
         return sigma, _cj(u)
