@@ -1,11 +1,13 @@
-// Incomplete nested-dissection fill-reducing ordering.
+// Multilevel nested-dissection fill-reducing ordering.
 //
 // Second fill-reducing engine of the PARDISO-replacement pipeline
 // (reference raleigh/algebra/mkl_wrap.py:411-434 relies on PARDISO's
-// internal METIS nested dissection): recursive bisection by level-set
-// vertex separators with one-pass separator thinning, minimum-degree
-// (amd.cpp) ordering of the leaf subgraphs and of the separators
-// themselves — the classical incomplete-ND-with-MD-leaves recipe.  On
+// internal METIS nested dissection): recursive bisection by vertex
+// separators found with the multilevel scheme METIS made standard —
+// coarsen by heavy-edge matching, find a level-set separator on the
+// coarsest graph, then uncoarsen with weighted Fiduccia-Mattheyses
+// vertex-separator refinement at every level.  Leaf subgraphs and the
+// separators themselves are ordered with minimum degree (amd.cpp).  On
 // 3D FE meshes nested dissection asymptotically beats pure minimum
 // degree on fill; the Python layer counts symbolic fill for both
 // orderings (symbolic_lnz below) and keeps the better one.
@@ -32,18 +34,25 @@ struct Ctx {
     int64_t n = 0;
     int64_t leaf = 160;                // MD-takeover subgraph size
     std::vector<int64_t> xadj, adjv;   // symmetric adjacency, no diagonal
+    std::vector<int64_t> vwt;          // vertex weights (empty = unit)
     std::vector<int64_t> tag;          // vertex -> active subgraph tag
     std::vector<int64_t> seen;         // BFS visit stamps
     std::vector<int64_t> lev;          // BFS levels
     std::vector<int64_t> loc;          // vertex -> local index scratch
     std::vector<int64_t> out;          // out[pos] = vertex
-    std::vector<int8_t> side;          // FM refinement: 0=A, 1=B, 2=sep
     int64_t next_pos = 0;
     int64_t next_tag = 1;
     int64_t epoch = 0;
     // reusable leaf-extraction buffers
     std::vector<int64_t> lAp, lAi, lperm;
 };
+
+uint64_t splitmix64(uint64_t x) {
+    x += 0x9e3779b97f4a7c15ULL;
+    x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ULL;
+    x = (x ^ (x >> 27)) * 0x94d049bb133111ebULL;
+    return x ^ (x >> 31);
+}
 
 // breadth-first levels within the subgraph identified by ``t`` starting
 // from ``root``; returns the visited vertices in BFS order and fills
@@ -94,37 +103,49 @@ void order_leaf(Ctx& c, const std::vector<int64_t>& S, int64_t t) {
         c.out[c.next_pos++] = S[c.lperm[k]];
 }
 
-// Fiduccia-Mattheyses refinement of a vertex separator.  Moves separator
-// vertices into A or B (pulling the opposite side's neighbors into the
-// separator to keep it a separator), accepting negative-gain moves and
-// rolling back to the best state seen — the hill-climbing that closes
-// most of the fill gap between raw level-set separators and METIS-grade
-// ones on irregular meshes.  Invariant maintained throughout: no edge
-// joins A and B.
-void fm_refine(Ctx& c, std::vector<int64_t>& A, std::vector<int64_t>& B,
-               std::vector<int64_t>& sep, int64_t t) {
-    const int8_t SA = 0, SB = 1, SS = 2;
-    const int64_t m = (int64_t)(A.size() + B.size() + sep.size());
-    if (sep.empty() || m < 4) return;
-    std::vector<int64_t> members;
-    members.reserve(m);
-    for (int64_t v : A) { c.side[v] = SA; members.push_back(v); }
-    for (int64_t v : B) { c.side[v] = SB; members.push_back(v); }
-    for (int64_t v : sep) { c.side[v] = SS; members.push_back(v); }
-    int64_t na = (int64_t)A.size(), nb = (int64_t)B.size();
-    int64_t ns = (int64_t)sep.size();
-    const int64_t min_part = std::max<int64_t>(1, m / 8);
+// ---------------------------------------------------------------------
+// Multilevel vertex-separator machinery.  Works on a compact local graph
+// with vertex weights (= number of original vertices a multilevel or
+// supervariable vertex represents) and edge weights (= number of fine
+// edges a coarse edge aggregates, used to steer heavy-edge matching).
+// ---------------------------------------------------------------------
+
+const int8_t SA = 0, SB = 1, SS = 2;
+
+struct WG {
+    int64_t nv = 0;
+    int64_t totw = 0;
+    std::vector<int64_t> xadj, adj, ewt, vwt;
+};
+
+// Weighted Fiduccia-Mattheyses refinement of a vertex separator.  Moves
+// separator vertices into A or B (pulling the opposite side's neighbors
+// into the separator to keep it a separator), accepting negative-gain
+// moves and rolling back to the best state seen.  Invariant maintained
+// throughout: no edge joins A and B.  All sizes are vertex-weighted so
+// refinement on coarse graphs optimizes the true (fine) separator size.
+void fm_refine_w(const WG& g, std::vector<int8_t>& side) {
+    const int64_t nv = g.nv;
+    if (nv < 4) return;
+    int64_t wa = 0, wb = 0, ws = 0, nsep0 = 0;
+    for (int64_t v = 0; v < nv; ++v) {
+        if (side[v] == SA) wa += g.vwt[v];
+        else if (side[v] == SB) wb += g.vwt[v];
+        else { ws += g.vwt[v]; ++nsep0; }
+    }
+    if (nsep0 == 0) return;
+    const int64_t min_part = std::max<int64_t>(1, g.totw / 8);
 
     // moving v (side SS) toward ``to`` pulls its opposite-side neighbors
-    // into the separator: gain in separator size = 1 - #pulls
+    // into the separator: gain in separator weight = vwt[v] - pulled wt
     auto gain = [&](int64_t v, int8_t to) -> int64_t {
         int8_t other = (to == SA) ? SB : SA;
         int64_t pulls = 0;
-        for (int64_t p = c.xadj[v]; p < c.xadj[v + 1]; ++p) {
-            int64_t w = c.adjv[p];
-            if (c.tag[w] == t && c.side[w] == other) ++pulls;
+        for (int64_t p = g.xadj[v]; p < g.xadj[v + 1]; ++p) {
+            int64_t w = g.adj[p];
+            if (side[w] == other) pulls += g.vwt[w];
         }
-        return 1 - pulls;
+        return g.vwt[v] - pulls;
     };
 
     struct Rec {
@@ -134,60 +155,64 @@ void fm_refine(Ctx& c, std::vector<int64_t>& A, std::vector<int64_t>& B,
     };
     std::vector<Rec> log;
     std::vector<int64_t> pulled;
+    std::vector<int64_t> locked(nv, -1);
+    int64_t epoch = 0;
     bool improved_any = true;
-    for (int pass = 0; pass < 8 && improved_any; ++pass) {
+    for (int pass = 0; pass < 10 && improved_any; ++pass) {
         improved_any = false;
-        ++c.epoch;                              // ``moved`` lock stamp
+        ++epoch;
         log.clear();
         pulled.clear();
         std::priority_queue<std::tuple<int64_t, int64_t, int8_t>> heap;
-        for (int64_t v : members)
-            if (c.side[v] == SS) {
+        int64_t nsep = 0;
+        for (int64_t v = 0; v < nv; ++v)
+            if (side[v] == SS) {
+                ++nsep;
                 heap.emplace(gain(v, SA), v, SA);
                 heap.emplace(gain(v, SB), v, SB);
             }
-        int64_t best_ns = ns, best_bal = std::max(na, nb);
+        int64_t best_ws = ws, best_bal = std::max(wa, wb);
         size_t best_len = 0;
-        int64_t budget = 2 * ns + 64;
+        int64_t budget = 2 * nsep + 64;
         while (!heap.empty() && budget > 0) {
-            auto [g, v, to] = heap.top();
+            auto [gn, v, to] = heap.top();
             heap.pop();
-            if (c.side[v] != SS || c.seen[v] == c.epoch) continue;
+            if (side[v] != SS || locked[v] == epoch) continue;
             int64_t g2 = gain(v, to);
-            if (g2 != g) {                      // stale entry: refresh
+            if (g2 != gn) {                     // stale entry: refresh
                 heap.emplace(g2, v, to);
                 continue;
             }
-            int64_t pulls = 1 - g;
-            int64_t na2 = (to == SA) ? na + 1 : na - pulls;
-            int64_t nb2 = (to == SA) ? nb - pulls : nb + 1;
-            if (std::min(na2, nb2) < min_part) continue;
+            int64_t pullw = g.vwt[v] - gn;
+            int64_t wa2 = (to == SA) ? wa + g.vwt[v] : wa - pullw;
+            int64_t wb2 = (to == SA) ? wb - pullw : wb + g.vwt[v];
+            if (std::min(wa2, wb2) < min_part) continue;
             // apply the move
             --budget;
             Rec r{v, to, (int64_t)pulled.size(), 0};
             int8_t other = (to == SA) ? SB : SA;
-            c.side[v] = to;
-            c.seen[v] = c.epoch;
-            for (int64_t p = c.xadj[v]; p < c.xadj[v + 1]; ++p) {
-                int64_t w = c.adjv[p];
-                if (c.tag[w] != t || c.side[w] != other) continue;
-                c.side[w] = SS;
+            side[v] = to;
+            locked[v] = epoch;
+            for (int64_t p = g.xadj[v]; p < g.xadj[v + 1]; ++p) {
+                int64_t w = g.adj[p];
+                if (side[w] != other) continue;
+                side[w] = SS;
                 pulled.push_back(w);
-                if (c.seen[w] != c.epoch) {
+                if (locked[w] != epoch) {
                     heap.emplace(gain(w, SA), w, SA);
                     heap.emplace(gain(w, SB), w, SB);
                 }
             }
             r.pull_end = (int64_t)pulled.size();
             log.push_back(r);
-            na = na2;
-            nb = nb2;
-            ns = ns - 1 + pulls;
-            if (ns < best_ns
-                || (ns == best_ns && std::max(na, nb) < best_bal)) {
-                if (ns < best_ns) improved_any = true;
-                best_ns = ns;
-                best_bal = std::max(na, nb);
+            wa = wa2;
+            wb = wb2;
+            ws -= gn;
+            if (ws < best_ws
+                || (ws == best_ws && std::max(wa, wb) < best_bal)) {
+                if (ws < best_ws) improved_any = true;
+                best_ws = ws;
+                best_bal = std::max(wa, wb);
                 best_len = log.size();
             }
         }
@@ -195,24 +220,205 @@ void fm_refine(Ctx& c, std::vector<int64_t>& A, std::vector<int64_t>& B,
         while (log.size() > best_len) {
             const Rec& r = log.back();
             int8_t other = (r.to == SA) ? SB : SA;
-            for (int64_t q = r.pull_end - 1; q >= r.pull_begin; --q)
-                c.side[pulled[q]] = other;
-            c.side[r.v] = SS;
-            if (r.to == SA) { --na; nb += r.pull_end - r.pull_begin; }
-            else { --nb; na += r.pull_end - r.pull_begin; }
-            ns = ns + 1 - (r.pull_end - r.pull_begin);
+            int64_t pullw = 0;
+            for (int64_t q = r.pull_end - 1; q >= r.pull_begin; --q) {
+                side[pulled[q]] = other;
+                pullw += g.vwt[pulled[q]];
+            }
+            side[r.v] = SS;
+            if (r.to == SA) { wa -= g.vwt[r.v]; wb += pullw; }
+            else { wb -= g.vwt[r.v]; wa += pullw; }
+            ws += g.vwt[r.v] - pullw;
             pulled.resize(r.pull_begin);
             log.pop_back();
         }
     }
-    A.clear();
-    B.clear();
-    sep.clear();
-    for (int64_t v : members) {
-        if (c.side[v] == SA) A.push_back(v);
-        else if (c.side[v] == SB) B.push_back(v);
-        else sep.push_back(v);
+}
+
+// Initial separator on a (small) connected graph: weighted BFS level cut
+// from a pseudo-peripheral root, falling back to a weighted-median split
+// of the BFS order when no balanced thin level exists.  Returns false if
+// no valid separator could be built (caller orders the subgraph whole).
+bool init_vsep(const WG& g, std::vector<int8_t>& side) {
+    const int64_t nv = g.nv;
+    if (nv < 4) return false;
+    std::vector<int64_t> lev(nv, -1), order;
+    order.reserve(nv);
+    auto run_bfs = [&](int64_t root) -> int64_t {
+        std::fill(lev.begin(), lev.end(), -1);
+        order.clear();
+        lev[root] = 0;
+        order.push_back(root);
+        int64_t maxlev = 0;
+        for (size_t q = 0; q < order.size(); ++q) {
+            int64_t v = order[q];
+            for (int64_t p = g.xadj[v]; p < g.xadj[v + 1]; ++p) {
+                int64_t w = g.adj[p];
+                if (lev[w] >= 0) continue;
+                lev[w] = lev[v] + 1;
+                maxlev = std::max(maxlev, lev[w]);
+                order.push_back(w);
+            }
+        }
+        return maxlev;
+    };
+    run_bfs(0);
+    if ((int64_t)order.size() < nv) return false;   // disconnected
+    int64_t nlev = run_bfs(order.back());           // pseudo-peripheral
+
+    side.assign(nv, SA);
+    int64_t best_k = -1;
+    if (nlev >= 3) {
+        std::vector<int64_t> wlev(nlev + 1, 0);
+        for (int64_t v = 0; v < nv; ++v) wlev[lev[v]] += g.vwt[v];
+        std::vector<int64_t> below(nlev + 2, 0);
+        for (int64_t l = 0; l <= nlev; ++l)
+            below[l + 1] = below[l] + wlev[l];
+        double best_cost = 1e300;
+        for (int64_t k = 1; k < nlev; ++k) {
+            int64_t na = below[k];                 // levels < k
+            int64_t nb = g.totw - below[k + 1];    // levels > k
+            if (na < g.totw / 5 || nb < g.totw / 5) continue;
+            double balance = (double)std::max(na, nb)
+                / (double)std::max<int64_t>(std::min(na, nb), 1);
+            double cost = (double)wlev[k] * (1.0 + 0.1 * balance);
+            if (cost < best_cost) {
+                best_cost = cost;
+                best_k = k;
+            }
+        }
     }
+    if (best_k >= 0) {
+        // A = levels < k; level-k vertices touching level k-1 separate,
+        // the rest of level k joins B with the deeper levels
+        for (int64_t v = 0; v < nv; ++v) {
+            if (lev[v] < best_k) { side[v] = SA; continue; }
+            if (lev[v] > best_k) { side[v] = SB; continue; }
+            bool touches_a = false;
+            for (int64_t p = g.xadj[v]; p < g.xadj[v + 1] && !touches_a;
+                 ++p)
+                touches_a = (lev[g.adj[p]] == best_k - 1);
+            side[v] = touches_a ? SS : SB;
+        }
+    } else {
+        // weighted-median split of the BFS order; B's boundary separates
+        int64_t acc = 0;
+        for (int64_t v : order) {
+            if (acc < g.totw / 2) { side[v] = SA; acc += g.vwt[v]; }
+            else side[v] = SB;
+        }
+        for (int64_t v = 0; v < nv; ++v) {
+            if (side[v] != SB) continue;
+            for (int64_t p = g.xadj[v]; p < g.xadj[v + 1]; ++p)
+                if (side[g.adj[p]] == SA) { side[v] = SS; break; }
+        }
+    }
+    bool has_a = false, has_b = false;
+    for (int64_t v = 0; v < nv; ++v) {
+        has_a |= (side[v] == SA);
+        has_b |= (side[v] == SB);
+    }
+    return has_a && has_b;
+}
+
+// One coarsening step: heavy-edge matching in pseudo-random visit order;
+// matched pairs merge, edge weights accumulate, vertex weights add.
+void coarsen(const WG& g, WG& cg, std::vector<int64_t>& cmap) {
+    const int64_t nv = g.nv;
+    cmap.assign(nv, -1);
+    std::vector<int64_t> ord(nv);
+    for (int64_t v = 0; v < nv; ++v) ord[v] = v;
+    std::sort(ord.begin(), ord.end(), [](int64_t a, int64_t b) {
+        uint64_t ha = splitmix64((uint64_t)a), hb = splitmix64((uint64_t)b);
+        return ha < hb || (ha == hb && a < b);
+    });
+    int64_t nc = 0;
+    for (int64_t i = 0; i < nv; ++i) {
+        int64_t v = ord[i];
+        if (cmap[v] >= 0) continue;
+        int64_t best = -1, bw = -1;
+        for (int64_t p = g.xadj[v]; p < g.xadj[v + 1]; ++p) {
+            int64_t w = g.adj[p];
+            if (cmap[w] >= 0) continue;
+            if (g.ewt[p] > bw) {
+                bw = g.ewt[p];
+                best = w;
+            }
+        }
+        cmap[v] = nc;
+        if (best >= 0) cmap[best] = nc;
+        ++nc;
+    }
+    cg.nv = nc;
+    cg.totw = g.totw;
+    cg.vwt.assign(nc, 0);
+    for (int64_t v = 0; v < nv; ++v) cg.vwt[cmap[v]] += g.vwt[v];
+    // members grouped by coarse vertex (counting sort)
+    std::vector<int64_t> cnt(nc + 1, 0), mem(nv);
+    for (int64_t v = 0; v < nv; ++v) cnt[cmap[v] + 1]++;
+    for (int64_t c2 = 0; c2 < nc; ++c2) cnt[c2 + 1] += cnt[c2];
+    {
+        std::vector<int64_t> next(cnt.begin(), cnt.end() - 1);
+        for (int64_t v = 0; v < nv; ++v) mem[next[cmap[v]]++] = v;
+    }
+    cg.xadj.assign(nc + 1, 0);
+    cg.adj.clear();
+    cg.ewt.clear();
+    cg.adj.reserve(g.adj.size());
+    cg.ewt.reserve(g.adj.size());
+    std::vector<int64_t> pos(nc, -1);   // coarse nbr -> index in cg.adj
+    for (int64_t c2 = 0; c2 < nc; ++c2) {
+        int64_t start = (int64_t)cg.adj.size();
+        for (int64_t q = cnt[c2]; q < cnt[c2 + 1]; ++q) {
+            int64_t v = mem[q];
+            for (int64_t p = g.xadj[v]; p < g.xadj[v + 1]; ++p) {
+                int64_t wc = cmap[g.adj[p]];
+                if (wc == c2) continue;
+                if (pos[wc] >= start) {        // older entries are < start
+                    cg.ewt[pos[wc]] += g.ewt[p];
+                } else {
+                    pos[wc] = (int64_t)cg.adj.size();
+                    cg.adj.push_back(wc);
+                    cg.ewt.push_back(g.ewt[p]);
+                }
+            }
+        }
+        cg.xadj[c2 + 1] = (int64_t)cg.adj.size();
+    }
+}
+
+// Multilevel vertex separator: coarsen until small (or matching stalls),
+// cut the coarsest graph, then project + FM-refine back up the levels.
+bool multilevel_vsep(const WG& g, std::vector<int8_t>& side) {
+    if (g.nv > 240) {
+        WG cg;
+        std::vector<int64_t> cmap;
+        coarsen(g, cg, cmap);
+        if (cg.nv < (g.nv * 19) / 20) {          // made real progress
+            std::vector<int8_t> cside;
+            if (multilevel_vsep(cg, cside)) {
+                side.resize(g.nv);
+                for (int64_t v = 0; v < g.nv; ++v)
+                    side[v] = cside[cmap[v]];
+                fm_refine_w(g, side);
+                bool has_a = false, has_b = false;
+                for (int64_t v = 0; v < g.nv; ++v) {
+                    has_a |= (side[v] == SA);
+                    has_b |= (side[v] == SB);
+                }
+                if (has_a && has_b) return true;
+            }
+        }
+        // fall through: matching stalled or coarse cut failed
+    }
+    if (!init_vsep(g, side)) return false;
+    fm_refine_w(g, side);
+    bool has_a = false, has_b = false;
+    for (int64_t v = 0; v < g.nv; ++v) {
+        has_a |= (side[v] == SA);
+        has_b |= (side[v] == SB);
+    }
+    return has_a && has_b;
 }
 
 
@@ -246,83 +452,41 @@ void dissect(Ctx& c, std::vector<int64_t> S, int64_t t) {
         return;
     }
 
-    // pseudo-peripheral root: two BFS sweeps
-    int64_t u = comp.back();
-    int64_t nlev = bfs(c, u, t, comp);
-    if (nlev < 3) {               // dense blob: no useful level separator
+    // compact local weighted graph of the (connected) subgraph
+    WG g;
+    g.nv = m;
+    for (int64_t i = 0; i < m; ++i) c.loc[S[i]] = i;
+    g.xadj.assign(m + 1, 0);
+    g.adj.clear();
+    for (int64_t i = 0; i < m; ++i) {
+        int64_t v = S[i];
+        for (int64_t p = c.xadj[v]; p < c.xadj[v + 1]; ++p) {
+            int64_t w = c.adjv[p];
+            if (c.tag[w] == t) g.adj.push_back(c.loc[w]);
+        }
+        g.xadj[i + 1] = (int64_t)g.adj.size();
+    }
+    g.ewt.assign(g.adj.size(), 1);
+    g.vwt.resize(m);
+    g.totw = 0;
+    for (int64_t i = 0; i < m; ++i) {
+        g.vwt[i] = c.vwt.empty() ? 1 : c.vwt[S[i]];
+        g.totw += g.vwt[i];
+    }
+
+    std::vector<int8_t> side;
+    if (!multilevel_vsep(g, side)) {
+        // dense blob / expander-like subgraph: no useful separator
         order_leaf(c, S, t);
         return;
     }
-
-    // pick the thinnest level in the middle band as the separator,
-    // weighted toward balance
-    std::vector<int64_t> lcount(nlev + 1, 0);
-    for (int64_t v : comp) lcount[c.lev[v]]++;
-    std::vector<int64_t> below(nlev + 2, 0);
-    for (int64_t l = 0; l <= nlev; ++l) below[l + 1] = below[l] + lcount[l];
-    int64_t best_k = -1;
-    double best_cost = 1e300;
-    for (int64_t k = 1; k < nlev; ++k) {
-        int64_t na = below[k];                 // levels < k
-        int64_t nb = m - below[k + 1];         // levels > k
-        if (na < m / 5 || nb < m / 5) continue;
-        double balance = (double)std::max(na, nb) / std::max<int64_t>(
-            std::min(na, nb), 1);
-        double cost = (double)lcount[k] * (1.0 + 0.1 * balance);
-        if (cost < best_cost) {
-            best_cost = cost;
-            best_k = k;
-        }
-    }
-    if (best_k < 0 || lcount[best_k] > m / 2) {
-        // no acceptable separator (e.g. expander-like subgraph)
-        order_leaf(c, S, t);
-        return;
-    }
-
-    // split; thin the separator from both sides: a level-k vertex with no
-    // neighbor in level k-1 does not separate and joins B (its neighbors
-    // are all in levels k / k+1); after that, a remaining one with no
-    // neighbor in level k+1 nor among the just-moved vertices joins A
-    std::vector<int64_t> A, B, sep, Lk;
-    A.reserve(below[best_k]);
-    B.reserve(m - below[best_k + 1]);
-    for (int64_t v : comp) {
-        int64_t l = c.lev[v];
-        if (l < best_k) A.push_back(v);
-        else if (l > best_k) B.push_back(v);
-        else Lk.push_back(v);
-    }
-    ++c.epoch;                         // stamp = moved to B
-    for (int64_t v : Lk) {
-        bool touches_a = false;
-        for (int64_t p = c.xadj[v]; p < c.xadj[v + 1] && !touches_a; ++p) {
-            int64_t w = c.adjv[p];
-            touches_a = (c.tag[w] == t && c.lev[w] == best_k - 1);
-        }
-        if (!touches_a) {
-            B.push_back(v);
-            c.seen[v] = c.epoch;
-        }
-    }
-    for (int64_t v : Lk) {
-        if (c.seen[v] == c.epoch) continue;
-        bool touches_b = false;
-        for (int64_t p = c.xadj[v]; p < c.xadj[v + 1] && !touches_b; ++p) {
-            int64_t w = c.adjv[p];
-            touches_b = (c.tag[w] == t
-                         && (c.lev[w] == best_k + 1
-                             || (c.lev[w] == best_k
-                                 && c.seen[w] == c.epoch)));
-        }
-        (touches_b ? sep : A).push_back(v);
+    std::vector<int64_t> A, B, sep;
+    for (int64_t i = 0; i < m; ++i) {
+        if (side[i] == SA) A.push_back(S[i]);
+        else if (side[i] == SB) B.push_back(S[i]);
+        else sep.push_back(S[i]);
     }
     if (A.empty() || B.empty() || sep.empty()) {
-        order_leaf(c, S, t);
-        return;
-    }
-    fm_refine(c, A, B, sep, t);
-    if (A.empty() || B.empty()) {
         order_leaf(c, S, t);
         return;
     }
@@ -364,7 +528,6 @@ int64_t etree_fill(int64_t n, const std::vector<int64_t>& Ap,
 int64_t run_dissect(Ctx& c) {
     const int64_t n = c.n;
     c.tag.assign(n, 0);
-    c.side.assign(n, -1);
     c.seen.assign(n, -1);
     c.lev.assign(n, 0);
     c.loc.assign(n, -1);
@@ -375,13 +538,6 @@ int64_t run_dissect(Ctx& c) {
     for (int64_t v = 0; v < n; ++v) all[v] = v;
     dissect(c, std::move(all), 0);
     return (c.next_pos == n) ? 0 : -1;
-}
-
-uint64_t splitmix64(uint64_t x) {
-    x += 0x9e3779b97f4a7c15ULL;
-    x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ULL;
-    x = (x ^ (x >> 27)) * 0x94d049bb133111ebULL;
-    return x ^ (x >> 31);
 }
 
 }  // namespace
@@ -531,6 +687,11 @@ int64_t nd_order(int64_t n, const int64_t* Ap, const int64_t* Ai,
                      q.adjv.end());
         q.xadj[g + 1] = (int64_t)q.adjv.size();
     }
+    // supervariable sizes weight the dissection so separator/balance
+    // decisions are made in original-vertex units
+    q.vwt.resize(n_groups);
+    for (int64_t g = 0; g < n_groups; ++g)
+        q.vwt[g] = gcount[g + 1] - gcount[g];
     if (run_dissect(q) != 0) return -1;
     int64_t pos = 0;
     for (int64_t k = 0; k < n_groups; ++k) {
