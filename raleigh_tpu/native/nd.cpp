@@ -134,7 +134,13 @@ void fm_refine_w(const WG& g, std::vector<int8_t>& side) {
         else { ws += g.vwt[v]; ++nsep0; }
     }
     if (nsep0 == 0) return;
-    const int64_t min_part = std::max<int64_t>(1, g.totw / 8);
+    // balance floor: never let a side drop below totw/4 — unless the
+    // incoming cut is already more lopsided, in which case hold the line
+    // at its current smaller side (keeps refinement feasible while
+    // forbidding further drift; imbalance compounding through the
+    // uncoarsening hierarchy was the round-1 quality regression)
+    const int64_t min_part = std::max<int64_t>(
+        1, std::min(g.totw / 4, std::min(wa, wb)));
 
     // moving v (side SS) toward ``to`` pulls its opposite-side neighbors
     // into the separator: gain in separator weight = vwt[v] - pulled wt
@@ -323,7 +329,10 @@ bool init_vsep(const WG& g, std::vector<int8_t>& side) {
 
 // One coarsening step: heavy-edge matching in pseudo-random visit order;
 // matched pairs merge, edge weights accumulate, vertex weights add.
-void coarsen(const WG& g, WG& cg, std::vector<int64_t>& cmap) {
+// Matches whose combined weight exceeds ``wcap`` are skipped so balanced
+// cuts stay representable on the coarse graph (METIS does the same).
+void coarsen(const WG& g, WG& cg, std::vector<int64_t>& cmap,
+             int64_t wcap) {
     const int64_t nv = g.nv;
     cmap.assign(nv, -1);
     std::vector<int64_t> ord(nv);
@@ -340,6 +349,7 @@ void coarsen(const WG& g, WG& cg, std::vector<int64_t>& cmap) {
         for (int64_t p = g.xadj[v]; p < g.xadj[v + 1]; ++p) {
             int64_t w = g.adj[p];
             if (cmap[w] >= 0) continue;
+            if (g.vwt[v] + g.vwt[w] > wcap) continue;
             if (g.ewt[p] > bw) {
                 bw = g.ewt[p];
                 best = w;
@@ -387,38 +397,57 @@ void coarsen(const WG& g, WG& cg, std::vector<int64_t>& cmap) {
     }
 }
 
+// cut quality = (separator weight, larger-side weight); smaller is better
+// on both axes, lexicographically.  Returns {INT64_MAX, INT64_MAX} for an
+// invalid cut (an empty side).
+std::pair<int64_t, int64_t> cut_cost(const WG& g,
+                                     const std::vector<int8_t>& side) {
+    int64_t wa = 0, wb = 0, ws = 0;
+    bool has_a = false, has_b = false;
+    for (int64_t v = 0; v < g.nv; ++v) {
+        if (side[v] == SA) { wa += g.vwt[v]; has_a = true; }
+        else if (side[v] == SB) { wb += g.vwt[v]; has_b = true; }
+        else ws += g.vwt[v];
+    }
+    if (!has_a || !has_b) return {INT64_MAX, INT64_MAX};
+    return {ws, std::max(wa, wb)};
+}
+
 // Multilevel vertex separator: coarsen until small (or matching stalls),
 // cut the coarsest graph, then project + FM-refine back up the levels.
+// At every level the projected-and-refined cut competes against a direct
+// fine-level cut (BFS level set + FM); the better of the two survives —
+// projection can carry imbalance down the hierarchy that refinement alone
+// cannot repair, and the direct cut is the safety net.
 bool multilevel_vsep(const WG& g, std::vector<int8_t>& side) {
+    std::pair<int64_t, int64_t> ml_cost{INT64_MAX, INT64_MAX};
+    std::vector<int8_t> ml_side;
     if (g.nv > 240) {
         WG cg;
         std::vector<int64_t> cmap;
-        coarsen(g, cg, cmap);
-        if (cg.nv < (g.nv * 19) / 20) {          // made real progress
+        // cap merged supervertices at ~1.5x the average weight of a
+        // 240-vertex coarsest graph so balanced coarse cuts stay possible
+        int64_t wcap = std::max<int64_t>(1, (3 * g.totw) / (2 * 240));
+        coarsen(g, cg, cmap, wcap);
+        if (cg.nv < (g.nv * 17) / 20) {          // made real progress
             std::vector<int8_t> cside;
             if (multilevel_vsep(cg, cside)) {
-                side.resize(g.nv);
+                ml_side.resize(g.nv);
                 for (int64_t v = 0; v < g.nv; ++v)
-                    side[v] = cside[cmap[v]];
-                fm_refine_w(g, side);
-                bool has_a = false, has_b = false;
-                for (int64_t v = 0; v < g.nv; ++v) {
-                    has_a |= (side[v] == SA);
-                    has_b |= (side[v] == SB);
-                }
-                if (has_a && has_b) return true;
+                    ml_side[v] = cside[cmap[v]];
+                fm_refine_w(g, ml_side);
+                ml_cost = cut_cost(g, ml_side);
             }
         }
         // fall through: matching stalled or coarse cut failed
     }
-    if (!init_vsep(g, side)) return false;
-    fm_refine_w(g, side);
-    bool has_a = false, has_b = false;
-    for (int64_t v = 0; v < g.nv; ++v) {
-        has_a |= (side[v] == SA);
-        has_b |= (side[v] == SB);
+    std::pair<int64_t, int64_t> dir_cost{INT64_MAX, INT64_MAX};
+    if (init_vsep(g, side)) {
+        fm_refine_w(g, side);
+        dir_cost = cut_cost(g, side);
     }
-    return has_a && has_b;
+    if (ml_cost < dir_cost) side = std::move(ml_side);
+    return std::min(ml_cost, dir_cost).first != INT64_MAX;
 }
 
 
@@ -481,12 +510,16 @@ void dissect(Ctx& c, std::vector<int64_t> S, int64_t t) {
         return;
     }
     std::vector<int64_t> A, B, sep;
+    int64_t sepw = 0;
     for (int64_t i = 0; i < m; ++i) {
         if (side[i] == SA) A.push_back(S[i]);
         else if (side[i] == SB) B.push_back(S[i]);
-        else sep.push_back(S[i]);
+        else { sep.push_back(S[i]); sepw += g.vwt[i]; }
     }
-    if (A.empty() || B.empty() || sep.empty()) {
+    // quality gate: a separator covering a third of the subgraph means
+    // recursing is worse than minimum degree on the whole subgraph
+    // (expander-like blobs); MD-order it and stop
+    if (A.empty() || B.empty() || sep.empty() || sepw > g.totw / 3) {
         order_leaf(c, S, t);
         return;
     }
