@@ -16,33 +16,39 @@ tests/test_randomized.py).  Set RALEIGH_BENCH_ENGINE=jacobi to time the
 block Jacobi-CG engine instead (per-vector convergence control, more host
 round-trips).
 
-Prints one JSON line:
+Robustness contract: this script ALWAYS prints exactly one JSON line on
+stdout, even when the TPU tunnel is down.  The benchmark work runs in a
+child process; the parent retries transient backend-init failures with
+backoff, falls back to JAX_PLATFORMS=cpu if the device never comes up,
+and on total failure emits a structured error record.  Narration goes to
+stderr only.
+
+The JSON line:
   {"metric": "pca_800_comps_time", "value": <seconds>, "unit": "s",
-   "vs_baseline": <ref_gpu_time / ours>}
+   "vs_baseline": <ref_gpu_time / ours>, "platform": "tpu"|"cpu",
+   "extra": {"lap3d50_shift_invert_s": ..., "dia_spmm_gnnz_per_s": ...,
+             "dia_spmm_gb_per_s": ...}}
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
-
-import numpy as np
-
-os.makedirs('/root/repo/.xla_cache', exist_ok=True)
-import jax  # noqa: E402
-
-jax.config.update('jax_compilation_cache_dir', '/root/repo/.xla_cache')
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.1)
 
 M, N, NPC = 12000, 39375, 800
 GEN_RANK = 2048
 BASELINE_GPU_SECONDS = 10.0
+_CHILD_FLAG = 'RALEIGH_BENCH_CHILD'
 
+
+# ---------------------------------------------------------------- child
 
 def make_data():
     """Synthesize the benchmark matrix on device: low-rank factors with
     k**-0.75 singular decay plus a small dense tail, PCA-invariant leading
     direction, float32."""
+    import jax
     import jax.numpy as jnp
 
     key = jax.random.PRNGKey(1)
@@ -60,15 +66,18 @@ def make_data():
     return jax.block_until_ready(a)
 
 
-def main():
+def _headline_pca():
+    """The driver-recorded metric: seconds to 800 principal components of
+    the LFW-shaped matrix (reference GPU: 10 s, /root/reference/README.md:31)."""
+    import jax
+    import numpy as np
+
     engine = os.environ.get('RALEIGH_BENCH_ENGINE', 'subspace')
     print('generating %dx%d benchmark matrix on device...' % (M, N),
           file=sys.stderr, flush=True)
     a = make_data()
     print('data ready; running %s PCA engine, npc=%d' % (engine, NPC),
           file=sys.stderr, flush=True)
-
-    from raleigh_tpu.interfaces.pca import pca
 
     if engine == 'subspace':
         from raleigh_tpu.interfaces.randomized import subspace_pca
@@ -86,31 +95,26 @@ def main():
         _force((mean, trans, comps))
         elapsed = time.time() - t0
     else:
+        from raleigh_tpu.interfaces.pca import pca
         t0 = time.time()
         mean, trans, comps = pca(a, npc=NPC, arch='tpu')
         elapsed = time.time() - t0
 
     assert comps.shape[0] == NPC, comps.shape
-    result = {
-        'metric': 'pca_800_comps_time',
-        'value': round(elapsed, 3),
-        'unit': 's',
-        'vs_baseline': round(BASELINE_GPU_SECONDS / elapsed, 3),
-    }
-    # emit the metric before the (fetch-heavy) verification so a degraded
-    # device link cannot eat the result
-    print(json.dumps(result), flush=True)
+    return a, (mean, trans, comps), elapsed
 
+
+def _verify_pca(a, factors):
+    """Post-metric quality check (stderr only; a degraded device link at
+    this point can no longer eat the recorded result)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    mean, trans, comps = factors
     g = np.asarray(comps[:64] @ comps[:64].T)   # tiny fetch if on device
     ortho_err = float(np.abs(g - np.eye(64)).max())
-
-    # verify the approximation quality on device: relative Frobenius error
-    # of A - e*mean - trans @ comps vs the analytic optimum of the
-    # synthetic spectrum (sigma_k ~ k^-0.75, truncated at NPC)
-    import jax.numpy as jnp
     mean_r = jnp.asarray(mean).reshape(1, -1)
     as_norm2 = jnp.sum((a - mean_r) ** 2)
-    # ||As - L R||^2 = ||As||^2 - 2<As, LR> + ||LR||^2, all on device
     lr_norm2 = jnp.sum(jnp.matmul(jnp.asarray(trans).T,
                                   jnp.asarray(trans)) *
                        jnp.matmul(jnp.asarray(comps),
@@ -122,8 +126,7 @@ def main():
     # sanity bound: the idealized spectrum (sigma_k ~ k^-0.75 with exactly
     # orthonormal factors) gives ef ~ 0.17; the Gaussian factors of the
     # actual generator spread the spectrum, and the measured optimum sits
-    # near 0.20 (stable across engines/precisions/oversampling) — warn
-    # only if the error leaves that band
+    # near 0.20 (stable across engines/precisions/oversampling)
     print('verification: err_fro %.4f, ortho %.2e' % (ef, ortho_err),
           file=sys.stderr)
     if ortho_err > 1e-2:
@@ -134,5 +137,158 @@ def main():
               ' (~0.20)' % ef, file=sys.stderr)
 
 
+def _extra_sparse_evp():
+    """Sparse flagship: lap3d 50^3 (n=125k), 10 smallest eigenvalues via
+    shift-invert (native LDL^T factorization + block Jacobi-CG), wall
+    clock.  Reference-class workload per BASELINE.md sparse table."""
+    import numpy as np
+    from raleigh_tpu.examples.laplace import lap3d, lap3d_eigenvalues
+    from raleigh_tpu.interfaces.partial_hevp import partial_hevp
+
+    a = lap3d(50, 50, 50, 1.0, 1.0, 1.0)
+    t0 = time.time()
+    vals, _, status = partial_hevp(a, sigma=0.0, which=10, verb=-1)
+    dt = time.time() - t0
+    if status != 0:
+        raise RuntimeError('partial_hevp status %d' % status)
+    exact = np.sort(lap3d_eigenvalues(50, 50, 50, 1.0, 1.0, 1.0))[:10]
+    err = np.max(np.abs(np.sort(vals) - exact) / exact)
+    if err > 1e-6:
+        raise RuntimeError('lap3d eigenvalue error %.2e' % err)
+    return round(dt, 3)
+
+
+def _extra_dia_spmm():
+    """DIA stencil SpMM streamed throughput on the device (lap3d 48^3,
+    block width 32).  Returns (Gnnz/s, effective GB/s: per nonzero the
+    kernel streams a 4-byte value + its share of operand/result rows).
+
+    The reps are chained inside ONE jitted fori_loop so the measurement is
+    sustained kernel throughput, not dispatch latency over the (possibly
+    tunneled) device link.  Each step rescales by 1/8 to keep the chained
+    iterate finite (lap3d spectral radius < 12)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+    from raleigh_tpu.examples.laplace import lap3d
+    from raleigh_tpu.ops.spmm import DiaMatrix
+
+    m = 32
+    reps = 100
+    a = lap3d(48, 48, 48, 1.0, 1.0, 1.0)
+    d = DiaMatrix(a)
+    n = d.shape[0]
+    np.random.seed(1)
+    xt = jnp.asarray(np.random.randn(n, m).astype(np.float32))
+
+    @jax.jit
+    def chain(x):
+        return lax.fori_loop(
+            0, reps, lambda i, y: d.matmat_t(y) * np.float32(0.125), x)
+
+    jax.block_until_ready(chain(xt))       # compile + warm
+    t0 = time.time()
+    jax.block_until_ready(chain(xt))
+    dt = (time.time() - t0) / reps
+    gnnz = d.nnz / dt / 1e9
+    # bytes moved: 7 diagonals * n * 4 (values) + n*m*4 in + n*m*4 out
+    gbps = (len(d.offsets) * n * 4 + 2 * n * m * 4) / dt / 1e9
+    return round(gnnz, 3), round(gbps, 1)
+
+
+def child_main():
+    os.makedirs('/root/repo/.xla_cache', exist_ok=True)
+    import jax
+    jax.config.update('jax_compilation_cache_dir', '/root/repo/.xla_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.1)
+    platform = jax.devices()[0].platform
+
+    a, factors, elapsed = _headline_pca()
+    result = {
+        'metric': 'pca_800_comps_time',
+        'value': round(elapsed, 3),
+        'unit': 's',
+        'vs_baseline': round(BASELINE_GPU_SECONDS / elapsed, 3),
+        'platform': platform,
+        'extra': {},
+    }
+    # secondary driver-captured metrics; each individually guarded so a
+    # failure cannot eat the headline
+    try:
+        result['extra']['lap3d50_shift_invert_s'] = _extra_sparse_evp()
+    except Exception as e:                          # noqa: BLE001
+        result['extra']['lap3d50_shift_invert_s'] = 'error: %s' % e
+    try:
+        gnnz, gbps = _extra_dia_spmm()
+        result['extra']['dia_spmm_gnnz_per_s'] = gnnz
+        result['extra']['dia_spmm_gb_per_s'] = gbps
+    except Exception as e:                          # noqa: BLE001
+        result['extra']['dia_spmm_gnnz_per_s'] = 'error: %s' % e
+
+    print(json.dumps(result), flush=True)
+    try:
+        _verify_pca(a, factors)
+    except Exception as e:                          # noqa: BLE001
+        print('verification failed (metric already emitted): %s' % e,
+              file=sys.stderr)
+
+
+# --------------------------------------------------------------- parent
+
+def _run_child(extra_env, timeout):
+    env = dict(os.environ)
+    env[_CHILD_FLAG] = '1'
+    env.update(extra_env)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, stdout=subprocess.PIPE, stderr=sys.stderr,
+        timeout=timeout)
+    line = None
+    for ln in proc.stdout.decode('utf-8', 'replace').splitlines():
+        ln = ln.strip()
+        if ln.startswith('{'):
+            try:
+                rec = json.loads(ln)
+                if 'metric' in rec and 'value' in rec:
+                    line = rec
+            except ValueError:
+                continue
+    return proc.returncode, line
+
+
+def parent_main():
+    """Retry transient device failures, fall back to CPU, and always
+    print one JSON line (VERDICT round-1 item 2)."""
+    attempts = [({}, 2400), ({}, 2400), ({}, 2400),
+                ({'JAX_PLATFORMS': 'cpu'}, 3000)]
+    backoff = [10, 30, 0, 0]
+    last_err = None
+    for i, (env, tmo) in enumerate(attempts):
+        label = 'cpu-fallback' if env else 'device attempt %d' % (i + 1)
+        print('bench: %s...' % label, file=sys.stderr, flush=True)
+        try:
+            rc, rec = _run_child(env, tmo)
+        except subprocess.TimeoutExpired:
+            last_err = '%s timed out after %ds' % (label, tmo)
+            print('bench: ' + last_err, file=sys.stderr, flush=True)
+            continue
+        if rc == 0 and rec is not None:
+            print(json.dumps(rec), flush=True)
+            return 0
+        last_err = '%s failed (rc=%d, parsed=%s)' % (label, rc, rec)
+        print('bench: ' + last_err, file=sys.stderr, flush=True)
+        if backoff[i]:
+            time.sleep(backoff[i])
+    print(json.dumps({
+        'metric': 'pca_800_comps_time', 'value': -1.0, 'unit': 's',
+        'vs_baseline': 0.0, 'error': last_err or 'all attempts failed',
+    }), flush=True)
+    return 0   # rc=0 with a structured error beats rc=1 with nothing
+
+
 if __name__ == '__main__':
-    main()
+    if os.environ.get(_CHILD_FLAG):
+        child_main()
+    else:
+        sys.exit(parent_main())
