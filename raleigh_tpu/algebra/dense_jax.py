@@ -697,6 +697,11 @@ class Matrix:
     def data(self):
         return np.asarray(self._data)
 
+    def device_array(self):
+        """The underlying jax.Array (for jit-traceable operator closures,
+        e.g. the chunked device engine in core/device_jacobi.py)."""
+        return self._data
+
     def shape(self):
         return self._data.shape
 

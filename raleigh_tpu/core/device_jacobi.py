@@ -1,0 +1,596 @@
+"""Device-resident block Jacobi-CG engine with per-vector convergence
+control (chunked dispatch).
+
+The host-orchestrated ``core.solver.Solver`` preserves the reference's
+control flow exactly (reference raleigh/core/solver.py:587-1663) but pays
+~2 synchronous device fetches plus a dozen dispatches per iteration — on a
+remote/tunneled TPU (~40 ms per round-trip) that is the whole wall-clock.
+This engine is the TPU-native formulation of the same iteration for
+*standard* problems at one spectrum margin (the dense SVD/PCA workload,
+reference interfaces/partial_svd.py:52-122):
+
+  * ``chunk`` iterations run per dispatch inside one jitted XLA program:
+    residuals, constraint deflation, hierarchical orthonormalization,
+    Rayleigh-Ritz over span[X, W, P] (device ``eigh``), basis update.
+    The Jacobi conjugation of the reference (core/solver.py:1321-1355)
+    appears here as the locally-optimal three-term recurrence: the RR
+    over [X, W, P] yields the same optimally-conjugated new directions
+    without per-pair beta denominators.
+  * ONE operator application per iteration, like the reference: the
+    A-images of X, P and the locked constraints transform exactly under
+    row-mixing (A acts on the feature dimension, row combinations
+    commute with it), so only the fresh Krylov direction W needs A.
+  * per-vector convergence control stays intact: every chunk returns the
+    per-iteration eigenvalue history and Ritz-mixing norms (tiny arrays),
+    from which the host maintains the same kinematic + residual error
+    estimates, stagnation/cluster logic and convergence sweeps as the
+    host solver — by *borrowing* ``Solver``'s own methods.  User-supplied
+    ``convergence_criteria`` / ``stopping_criteria`` objects (reference
+    core/solver.py:125-138, interfaces/truncated_svd.py:205-385) are
+    evaluated unchanged against this engine.
+  * converged vectors are locked into a fixed-capacity device constraint
+    buffer (no dynamic shapes); their block slots are refilled with fresh
+    random directions in one jitted refresh call.
+"""
+
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from functools import partial
+
+from .solver import (Solver, Options, DefaultConvergenceCriteria, HISTORY,
+                     _find_clusters, _shift_slot_data, EstimatedErrors)
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _cj(a):
+    return a.conj() if jnp.iscomplexobj(a) else a
+
+
+def svd_normal_matmat(adata, transp, shift, aves=None):
+    """Build the jit-traceable row-block normal operator of the (implicitly
+    mean-shifted) data matrix: x (mb, d) -> x (B B^H)^T with B = A - e a^T,
+    matching _OperatorSVD.apply (reference partial_svd.py:258-291,
+    this repo interfaces/partial_svd.py:48-74)."""
+    m = adata.shape[0]
+
+    if transp:
+        def matmat(x):
+            z = jnp.matmul(x, _cj(adata), precision=_HI)
+            if shift:
+                s = jnp.sum(x, axis=1, keepdims=True)      # x e
+                z = z - s * aves[None, :].astype(z.dtype)
+            y = jnp.matmul(z, adata.T, precision=_HI)
+            if shift:
+                s = jnp.matmul(z, _cj(aves)[:, None], precision=_HI)
+                y = y - s
+            return y
+    else:
+        def matmat(x):
+            z = jnp.matmul(x, adata.T, precision=_HI)
+            if shift:
+                for _ in range(2):   # double orthogonalization for accuracy
+                    s = jnp.sum(z, axis=1, keepdims=True)
+                    z = z - s / m
+            return jnp.matmul(z, _cj(adata), precision=_HI)
+    return matmat
+
+
+class DeviceJacobi:
+    """Chunked device engine computing the ``nwanted`` largest eigenpairs
+    of a symmetric/Hermitian jit-traceable operator, with Solver-compatible
+    observability (criteria and stopping objects see the same attribute
+    surface as ``core.solver.Solver``)."""
+
+    # borrowed Solver machinery: identical observability/estimation logic
+    convergence_data = Solver.convergence_data
+    _estimate_errors = Solver._estimate_errors
+    _sweep = Solver._sweep
+    _print_iterate_table = Solver._print_iterate_table
+
+    def __init__(self, matmat, dim, dtype=np.float32, precond=None):
+        self.matmat = matmat
+        self.dim = int(dim)
+        self.dtype = np.dtype(dtype).type
+        self.precond = precond
+        # Solver-compatible public state
+        self.iteration = 0
+        self.lcon = 0
+        self.rcon = 0
+        self.eigenvalues = np.zeros((0,), dtype=np.float64)
+        self.eigenvalue_errors = EstimatedErrors()
+        self.eigenvector_errors = EstimatedErrors()
+        self.residual_norms = np.zeros((0,), dtype=np.float32)
+        self.convergence_status = np.zeros((0,), dtype=np.int32)
+        self.block_size = None
+        self.cnv = None
+        self.lmd = None
+        self.res = None
+        self.err_lmd = None
+        self.err_X = None
+        self._xc = None       # (K, dim) locked rows, zero beyond _nc
+        self._axc = None
+        self._nc = 0
+        self._kernels = {}
+
+    # -- Solver API surface used by stopping criteria ---------------------
+
+    @property
+    def eigenvectors(self):
+        """Converged eigenvectors as a device Vectors (rows), built lazily
+        for stopping-criteria consumers (truncated_svd.py:285-318)."""
+        from ..algebra import dense_jax
+        if self._nc == 0:
+            return dense_jax.Vectors(self.dim, 0, self.dtype)
+        return dense_jax.Vectors(self._xc[:self._nc])
+
+    def problem(self):
+        return self
+
+    # -- jitted kernels (compiled per (m, K) signature) --------------------
+
+    def _build(self, m, K):
+        key = (m, K)
+        if key in self._kernels:
+            return self._kernels[key]
+        matmat = self.matmat
+        precond = self.precond
+        eps = float(np.finfo(np.dtype(self.dtype).type(0).real.dtype).eps)
+        eps_rel = 100 * eps
+        sqrt_eps = float(np.sqrt(eps))
+
+        def _gram(a, b):
+            # rows are vectors: G[i, j] = <a_i, b_j>
+            return jnp.matmul(_cj(a), b.T, precision=_HI)
+
+        def _norm_drop(block, dead0=None):
+            norms = jnp.sqrt(jnp.einsum('ij,ij->i', _cj(block), block).real)
+            ref = jnp.maximum(jnp.max(norms), 1e-30)
+            dead = norms <= sqrt_eps * ref
+            if dead0 is not None:
+                dead = dead | dead0
+            safe = jnp.where(norms == 0, 1.0, norms).astype(block.dtype)
+            out = jnp.where(dead[:, None], 0.0, block / safe[:, None])
+            return out, dead, norms
+
+        def _whiten(block, dead0=None):
+            g = _gram(block, block)
+            w, v = jnp.linalg.eigh(g)
+            wmax = jnp.maximum(w[-1], 0.0)
+            dead_g = w <= wmax * eps_rel
+            inv = jnp.where(dead_g, 0.0,
+                            1.0 / jnp.sqrt(jnp.where(dead_g, 1.0, w)))
+            mix = (v * inv[None, :]).T.conj()        # rows := mix @ rows
+            bw = jnp.matmul(mix, block, precision=_HI)
+            out, dead, _ = _norm_drop(bw, dead0)
+            return out, dead, mix
+
+        def _whiten_linear(block, dead0=None):
+            """Whitening as a PURE linear row-mixing (out = mix @ block
+            exactly, dead rows zeroed without rescaling) so a tracked
+            A-image stays exact under ap := mix @ ap.
+
+            The drop cutoff is sqrt(eps), much looser than _whiten's: the
+            mixing amplifies the tracked A-image's rounding error by up to
+            1/sqrt(cutoff), and a nearly-dependent conjugate direction is
+            noise, not signal — dropping it costs nothing."""
+            g = _gram(block, block)
+            w, v = jnp.linalg.eigh(g)
+            wmax = jnp.maximum(w[-1], 0.0)
+            dead_g = w <= wmax * sqrt_eps
+            inv = jnp.where(dead_g, 0.0,
+                            1.0 / jnp.sqrt(jnp.where(dead_g, 1.0, w)))
+            mix = (v * inv[None, :]).T.conj()
+            bw = jnp.matmul(mix, block, precision=_HI)
+            # zero-only noise mask: a correctly whitened live row has unit
+            # norm; rows far from it are rounding noise
+            norms = jnp.sqrt(jnp.einsum('ij,ij->i', _cj(bw), bw).real)
+            dead = norms <= 0.5
+            if dead0 is not None:
+                dead = dead | dead0
+            out = jnp.where(dead[:, None], 0.0, bw)
+            return out, dead, mix
+
+        def _ortho_rows(block, basis):
+            # two-pass classical Gram-Schmidt; returns block and the total
+            # subtracted coefficients (for exact A-image tracking)
+            q_tot = None
+            for _ in range(2):
+                q = _gram(block, basis)
+                block = block - jnp.matmul(q, basis, precision=_HI)
+                q_tot = q if q_tot is None else q_tot + q
+            return block, q_tot
+
+        @partial(jax.jit, static_argnames=('iters',), donate_argnums=(0,))
+        def run_chunk(state, iters):
+            def body(t, carry):
+                x, ax, p, ap, xc, axc, anorm, lam_h, dx_h = carry
+                # re-deflate X against the locked set every iteration: a
+                # locked direction with a larger eigenvalue amplifies any
+                # f32 leak exponentially through the Rayleigh-Ritz
+                # maximization, so the leak must be reset to rounding
+                # level each step (A-image follows exactly: row ops
+                # commute with A)
+                qx = _gram(x, xc)
+                x = x - jnp.matmul(qx, xc, precision=_HI)
+                ax = ax - jnp.matmul(qx, axc, precision=_HI)
+                lam = jnp.einsum('ij,ij->i', _cj(x), ax,
+                                 precision=_HI).real
+                anorm = jnp.maximum(anorm, jnp.max(jnp.abs(lam)))
+                lam_h = lax.dynamic_update_slice_in_dim(
+                    lam_h, lam[None, :], t, 0)
+                w = ax - lam[:, None].astype(x.dtype) * x
+                if precond is not None:
+                    w = precond(w).astype(w.dtype)
+                # deflate against locked constraints (zero rows of xc are
+                # no-ops, so no count masking is needed)
+                w, _ = _ortho_rows(w, xc)
+                w, dead_w, _ = _norm_drop(w)
+                w, _ = _ortho_rows(w, x)
+                w, dead_w, _ = _norm_drop(w, dead_w)
+                w, dead_w, _ = _whiten(w, dead_w)
+                # fresh Krylov direction: the single operator application
+                aw = matmat(w).astype(w.dtype)
+                # conjugate directions: deflate and re-orthonormalize with
+                # exact A-image tracking — every transform of P here is a
+                # pure row operation, which commutes with A, so AP follows
+                # through the same coefficients
+                p, dead_p, nrm = _norm_drop(p)
+                safe = jnp.where(nrm == 0, 1.0, nrm).astype(p.dtype)
+                ap = jnp.where(dead_p[:, None], 0.0, ap / safe[:, None])
+                qc, q1 = _ortho_rows(p, xc)
+                ap = ap - jnp.matmul(q1, axc, precision=_HI)
+                p = qc
+                p, q2 = _ortho_rows(p, x)
+                ap = ap - jnp.matmul(q2, ax, precision=_HI)
+                p, q3 = _ortho_rows(p, w)
+                ap = ap - jnp.matmul(q3, aw, precision=_HI)
+                p, dead_p, mix = _whiten_linear(p, dead_p)
+                ap = jnp.matmul(mix, ap, precision=_HI)
+                ap = jnp.where(dead_p[:, None], 0.0, ap)
+
+                s = jnp.concatenate((x, w, p), axis=0)       # (3m, n) rows
+                a_s = jnp.concatenate((ax, aw, ap), axis=0)
+                h = _gram(s, a_s)
+                h = 0.5 * (h + h.conj().T)
+                dead = jnp.concatenate(
+                    (jnp.zeros((m,), bool), dead_w, dead_p))
+                # push dead columns just below the live spectrum so the
+                # top-m Ritz selection never picks them; a moderate shift
+                # keeps ||H|| (and with it f32 eigh's absolute error) of
+                # the same order as the live eigenvalues
+                big = (jnp.max(jnp.abs(jnp.diagonal(h))) + 1.0) * 3.0
+                h = h - jnp.diag(jnp.where(dead, big, 0.0).astype(h.dtype))
+                vals, c = jnp.linalg.eigh(h)                 # ascending
+                cm = c[:, 2 * m:]                            # top m
+                xn = jnp.matmul(cm.T, s, precision=_HI)
+                axn = jnp.matmul(cm.T, a_s, precision=_HI)
+                # kinematic dX: norms of the (W, P)-components of the new X
+                dx = jnp.sqrt(jnp.einsum(
+                    'ij,ij->j', _cj(cm[m:]), cm[m:]).real)
+                dx_h = lax.dynamic_update_slice_in_dim(
+                    dx_h, dx[None, :], t, 0)
+                cwp = cm.at[:m, :].set(0)
+                pn = jnp.matmul(cwp.T, s, precision=_HI)
+                apn = jnp.matmul(cwp.T, a_s, precision=_HI)
+                return xn, axn, pn, apn, xc, axc, anorm, lam_h, dx_h
+
+            x, ax, p, ap, xc, axc, anorm = state
+            lam_h = jnp.zeros((iters, m), jnp.float32)
+            dx_h = jnp.zeros((iters, m), jnp.float32)
+            x, ax, p, ap, xc, axc, anorm, lam_h, dx_h = lax.fori_loop(
+                0, iters, body, (x, ax, p, ap, xc, axc, anorm, lam_h, dx_h))
+            # deflate the last update's leak, then refresh the tracked
+            # A-image of X at chunk exit: RR-updated images drift by f32
+            # rounding (the host solver bounds the same drift with its
+            # Ritz-quality restart, reference core/solver.py:854-920), and
+            # the lock/convergence decisions made from this chunk's exit
+            # data must be trustworthy
+            qx = _gram(x, xc)
+            x = x - jnp.matmul(qx, xc, precision=_HI)
+            ax = matmat(x).astype(x.dtype)
+            lam = jnp.einsum('ij,ij->i', _cj(x), ax, precision=_HI).real
+            anorm = jnp.maximum(anorm, jnp.max(jnp.abs(lam)))
+            r = ax - lam[:, None].astype(x.dtype) * x
+            res = jnp.sqrt(jnp.einsum('ij,ij->i', _cj(r), r).real)
+            g = _gram(x, x)
+            gram_err = jnp.max(jnp.abs(g - jnp.eye(m, dtype=g.dtype)))
+            return (x, ax, p, ap, xc, axc, anorm), lam, res, lam_h, dx_h, \
+                gram_err
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+        def lock_refresh(x, ax, xc, axc, nc, cnt_mask, fresh):
+            """Move the rows of x flagged in ``cnt_mask`` (a (m,) bool mask,
+            True for locked slots — always the top ``cnt`` slots) into the
+            constraint buffers at row ``nc``..; compact the remaining rows
+            down; fill the freed top slots with ``fresh`` random rows
+            orthogonalized against everything; re-orthonormalize x and
+            recompute nothing (AX of kept rows is exact; fresh rows get
+            their A-image on the next chunk's first iteration via W... no:
+            X needs AX now).  Returns (x, ax_keep_marker, xc, axc).
+
+            AX for the refreshed block is recomputed by the caller with one
+            operator application (unavoidable: fresh rows are new)."""
+            # stable partition: locked rows first (to copy out), kept after
+            idx = jnp.argsort(jnp.where(cnt_mask, 0, 1), stable=True)
+            x_sorted = jnp.take(x, idx, axis=0)
+            ax_sorted = jnp.take(ax, idx, axis=0)
+            cnt = jnp.sum(cnt_mask)
+            # scatter locked rows into xc[nc : nc+cnt] without dynamic
+            # shapes: row j of x_sorted (j < cnt) goes to xc row nc + j
+            rows = jnp.arange(m)
+            dst = nc + rows
+            ok = rows < cnt
+            dst = jnp.where(ok, dst, K)          # K = out-of-range drop
+            xc = xc.at[dst].set(x_sorted, mode='drop')
+            axc = axc.at[dst].set(ax_sorted, mode='drop')
+            # compact kept rows to the bottom, fresh random rows on top
+            keep = jnp.argsort(jnp.where(cnt_mask, 1, 0), stable=True)
+            xk = jnp.take(x, keep, axis=0)
+            axk = jnp.take(ax, keep, axis=0)
+            live = rows < (m - cnt)
+            xk = jnp.where(live[:, None], xk, fresh)
+            # orthogonalize fresh rows (all rows; kept ones are already
+            # orthonormal and unaffected up to rounding)
+            for _ in range(2):
+                q = jnp.matmul(_cj(xk), xc.T, precision=_HI)
+                xk = xk - jnp.matmul(q, xc, precision=_HI)
+            g = jnp.matmul(_cj(xk), xk.T, precision=_HI)
+            w, v = jnp.linalg.eigh(g)
+            wmax = jnp.maximum(w[-1], 0.0)
+            dead_g = w <= wmax * eps_rel
+            inv = jnp.where(dead_g, 0.0,
+                            1.0 / jnp.sqrt(jnp.where(dead_g, 1.0, w)))
+            mix = (v * inv[None, :]).T.conj()
+            xk = jnp.matmul(mix, xk, precision=_HI)
+            return xk, axk, xc, axc
+
+        self._kernels[key] = (run_chunk, lock_refresh)
+        return self._kernels[key]
+
+    # -- driver ------------------------------------------------------------
+
+    def solve(self, eigenvectors, options=None, nwanted=-1, chunk=8,
+              verb=0):
+        """Compute eigenpairs at the upper margin; converged eigenvectors
+        are appended (as rows) to ``eigenvectors``.  Returns a Solver-
+        compatible status: 0 success, 2 iteration limit, 3 no search
+        directions."""
+        if options is None:
+            options = Options()
+        verb = max(verb, options.verbosity)
+        criteria = (options.convergence_criteria or
+                    DefaultConvergenceCriteria())
+        stopping = options.stopping_criteria
+        detect_stagn = options.detect_stagnation
+        n = self.dim
+        m = options.block_size
+        if m is None or m < 1:
+            m = 128 if (nwanted < 0 or nwanted > 100) else \
+                max(16, nwanted + nwanted // 4)
+        m = min(m, max(8, n // 4))
+        self.block_size = m
+        max_iter = options.max_iter if options.max_iter >= 0 else 100
+        min_iter = options.min_iter
+
+        K = self._cap_for(nwanted, m)
+        dtype = self.dtype
+        cdt = np.complex64 if np.dtype(dtype).kind == 'c' else None
+
+        # host-side per-slot state (Solver-compatible names)
+        self.cnv = np.zeros((m,), dtype=np.int32)
+        self.lmd = np.zeros((m,), dtype=np.float64)
+        self.res = -np.ones((m,), dtype=np.float32)
+        self.err_lmd = -np.ones((2, m), dtype=np.float32)
+        self.err_X = -np.ones((2, m), dtype=np.float32)
+        iterations = np.zeros((m,), dtype=np.int32)
+        dlmd = np.zeros((m, HISTORY), dtype=np.float32)
+        dX = np.ones((m,), dtype=np.float32)
+        acf = np.ones((2, m), dtype=np.float32)
+        cluster = np.zeros((2, m), dtype=np.int32)
+        rec = 0
+        dlmd_min_right = 0.0
+        epsilon = float(np.finfo(np.dtype(dtype).type(0).real.dtype).eps)
+
+        run_chunk, lock_refresh = self._build(m, K)
+
+        # initial block: reproducible host randomness (matches backend
+        # convention, dense_jax.py fill_random)
+        x0 = (2 * np.random.rand(m, n) - 1).astype(dtype)
+        if cdt is not None:
+            x0 = x0 + 1j * (2 * np.random.rand(m, n) - 1).astype(np.float32)
+        x = jnp.asarray(x0)
+        # include any pre-existing constraints
+        self._xc = jnp.zeros((K, n), dtype=x.dtype)
+        self._axc = jnp.zeros((K, n), dtype=x.dtype)
+        self._nc = 0
+        nc0 = eigenvectors.nvec()
+        if nc0 > 0:
+            rows = eigenvectors.device_data().astype(x.dtype)
+            self._xc = self._xc.at[:nc0].set(rows)
+            self._axc = self._axc.at[:nc0].set(
+                self.matmat(rows).astype(x.dtype))
+            self._nc = nc0
+        fresh0 = jnp.zeros((m, n), dtype=x.dtype)
+        x, _ax_drop, self._xc, self._axc = lock_refresh(
+            x, jnp.zeros_like(x), self._xc, self._axc,
+            jnp.asarray(self._nc, jnp.int32),
+            jnp.zeros((m,), bool), fresh0)
+        ax = self.matmat(x).astype(x.dtype)
+        p = jnp.zeros_like(x)
+        ap = jnp.zeros_like(x)
+        anorm = jnp.zeros((), jnp.float32)
+        state = (x, ax, p, ap, self._xc, self._axc, anorm)
+
+        self.iteration = 0
+        self.rcon = 0
+        self.lcon = 0
+        status = 2
+
+        while True:
+            if np.amax(iterations) >= max_iter:
+                status = 2
+                break
+            iters = int(min(chunk, max(1, max_iter - np.amax(iterations))))
+            state, lam_k, res_k, lam_h_k, dx_h_k, ge_k = run_chunk(state,
+                                                                   iters)
+            # run_chunk donates its input state: re-point the constraint
+            # buffers at the live copies
+            self._xc, self._axc = state[4], state[5]
+            lam, res, lam_h, dx_h, gram_err = jax.device_get(
+                (lam_k, res_k, lam_h_k, dx_h_k, ge_k))
+            if (gram_err > math.sqrt(epsilon)
+                    or not np.all(np.isfinite(lam))):
+                # Ritz-quality restart (reference core/solver.py:854-920):
+                # re-orthonormalize the block against the constraints,
+                # recompute its A-image, reset conjugate directions
+                if verb > 0:
+                    print('restarting (block non-orthonormality %.1e)...'
+                          % gram_err)
+                x = state[0]
+                x = jnp.where(jnp.isfinite(x), x, 0)
+                x, _, xc, axc = lock_refresh(
+                    x, state[1], state[4], state[5],
+                    jnp.asarray(self._nc, jnp.int32),
+                    jnp.zeros((m,), bool), jnp.zeros((m, n), x.dtype))
+                self._xc, self._axc = xc, axc
+                ax = self.matmat(x).astype(x.dtype)
+                state = (x, ax, jnp.zeros_like(x), jnp.zeros_like(x),
+                         xc, axc, state[6])
+                rec = 0
+                dlmd[:] = 0
+                iterations += iters
+                self.iteration += iters
+                continue
+            # replay the in-chunk trajectories iteration by iteration so
+            # the kinematic machinery evolves exactly as it does in the
+            # host loop (estimates computed while decrements are still
+            # above the recording threshold persist after convergence;
+            # _estimate_errors only overwrites entries it has fresh
+            # information for)
+            sqeps = math.sqrt(epsilon)
+            for t in range(iters):
+                before = lam_h[t].astype(np.float64)
+                after = (lam_h[t + 1].astype(np.float64) if t + 1 < iters
+                         else lam.astype(np.float64))
+                if rec == HISTORY:
+                    dlmd[:, :-1] = dlmd[:, 1:]
+                else:
+                    rec += 1
+                delta = before - after
+                eps_d = sqeps * np.maximum(np.abs(before), np.abs(after))
+                dlmd[:, rec - 1] = np.where(np.abs(delta) > eps_d,
+                                            delta, 0.0)
+                dX[:] = dx_h[t]
+                self.lmd[:] = after
+                self._estimate_errors(0, m, 0, m, m, rec, dlmd, dX, acf,
+                                      self.lmd, self.res, self.err_lmd,
+                                      self.err_X, False, verb)
+            iterations += iters
+            self.iteration += iters
+            self.lmd[:] = lam
+            self.res[:] = res
+            if verb > 1:
+                self._print_iterate_table(m, self.lmd, self.res,
+                                          self.err_lmd, self.err_X, acf)
+            eps_stag = epsilon ** 0.67
+            dlmd_min_rgt = eps_stag * np.amax(np.abs(dlmd[:, rec - 1]))
+            if self.iteration <= 2 * chunk:
+                dlmd_min_right = dlmd_min_rgt
+            _find_clusters(cluster, self.lmd, 0, m, 0.0, dlmd_min_rgt)
+
+            rcon = self._sweep(side='right', count=m, left=0, right=max(
+                nwanted, 1) if nwanted > 0 else m, ix=0, nx=m,
+                shift_invert=False, lmd=self.lmd, iterations=iterations,
+                min_iter=min_iter, criteria=criteria,
+                detect_stagn=detect_stagn, dlmd=dlmd, rec=rec,
+                dlmd_min=dlmd_min_right, cluster=cluster, res=self.res,
+                err_X=self.err_X, verb=verb)
+            if nwanted > 0:
+                rcon = min(rcon, nwanted - self.rcon)
+
+            if rcon > 0 and self._nc + rcon > K:
+                # grow constraint capacity (rebuilds the kernels); only
+                # reachable in tolerance/interactive-driven mode
+                K2 = min(max(2 * K, self._nc + rcon + m), n)
+                if K2 <= K:
+                    status = 1
+                    break
+                x, ax, p, ap, xc, axc, anorm = state
+                xc = jnp.zeros((K2, n), xc.dtype).at[:K].set(xc)
+                axc = jnp.zeros((K2, n), axc.dtype).at[:K].set(axc)
+                K = K2
+                self._xc, self._axc = xc, axc
+                state = (x, ax, p, ap, xc, axc, anorm)
+                run_chunk, lock_refresh = self._build(m, K)
+
+            if rcon > 0:
+                first = m - rcon
+                # record in ascending slot order (reference _lock order,
+                # core/solver.py:1197-1263)
+                self.eigenvalues = np.concatenate(
+                    (self.eigenvalues, self.lmd[first:]))
+                self.eigenvalue_errors.append(self.err_lmd[:, first:])
+                self.eigenvector_errors.append(self.err_X[:, first:])
+                self.residual_norms = np.concatenate(
+                    (self.residual_norms, self.res[first:]))
+                self.convergence_status = np.concatenate(
+                    (self.convergence_status, self.cnv[first:]))
+                self.rcon += rcon
+                x, ax, p, ap, xc, axc, anorm = state
+                mask = np.zeros((m,), bool)
+                mask[first:] = True
+                fr = (2 * np.random.rand(rcon, n) - 1).astype(dtype)
+                if cdt is not None:
+                    fr = fr + 1j * (2 * np.random.rand(rcon, n) - 1).astype(
+                        np.float32)
+                fresh = jnp.zeros((m, n), x.dtype)
+                fresh = fresh.at[m - rcon:].set(jnp.asarray(fr))
+                x, _axk, xc, axc = lock_refresh(
+                    x, ax, xc, axc, jnp.asarray(self._nc, jnp.int32),
+                    jnp.asarray(mask), fresh)
+                self._nc += rcon
+                self._xc, self._axc = xc, axc
+                ax = self.matmat(x).astype(x.dtype)
+                p = jnp.zeros_like(x)
+                ap = jnp.zeros_like(x)
+                state = (x, ax, p, ap, xc, axc, anorm)
+                # slide per-slot host data: slots keep ascending-eigenvalue
+                # identity; top rcon slots are fresh
+                _shift_slot_data(self.cnv, self.lmd, self.res, acf,
+                                 self.err_lmd, dlmd, self.err_X, dX,
+                                 iterations, 0, rcon, m, 0, 0)
+
+            if stopping is not None and rcon > 0:
+                if stopping.satisfied(self):
+                    status = 0
+                    break
+            if nwanted > 0 and self.rcon >= nwanted:
+                status = 0
+                break
+            if stopping is None and nwanted < 0:
+                status = 0
+                break
+
+        # deliver converged rows to the caller's Vectors (locking order)
+        ncnew = self._nc - nc0
+        if ncnew > 0:
+            from ..algebra import dense_jax
+            rows = self._xc[nc0:self._nc]
+            if isinstance(eigenvectors, dense_jax.Vectors):
+                eigenvectors.append(dense_jax.Vectors(rows))
+            else:
+                eigenvectors.append(
+                    eigenvectors.new_vectors(np.asarray(rows)))
+        return status
+
+    @staticmethod
+    def _cap_for(nwanted, m):
+        if nwanted > 0:
+            return int(nwanted + m)
+        return int(4 * m)

@@ -96,6 +96,10 @@ class Options:
         self.stopping_criteria = None
         self.detect_stagnation = True
         self.max_quota = 0.75
+        # TPU extension: 'auto' lets device-backed interfaces route the
+        # iteration to the chunked device engine (core/device_jacobi.py);
+        # 'host' forces the reference-style host-orchestrated loop
+        self.device_engine = 'auto'
 
 
 class EstimatedErrors:

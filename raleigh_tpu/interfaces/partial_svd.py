@@ -119,8 +119,7 @@ class PartialSVD:
         opSVD = self.__opsvd
         shift = self.__shift
 
-        solver = Solver(Problem(v, opSVD))
-        status = solver.solve(v, options=opt, which=nsv)
+        status, iterations = self._solve_evp(v, opSVD, opt, nsv)
         if status < 0:
             self.__mean_v = None
             self.__left_v = None
@@ -173,13 +172,43 @@ class PartialSVD:
             sigma = np.zeros((0,), dtype=v.data_type())
         self.sigma = sigma
         self.__mean_v = opSVD.mean_v()
-        self.iterations = solver.iteration
+        self.iterations = iterations
         if transp:
             self.__left_v = v
             self.__right_v = u
         else:
             self.__left_v = u
             self.__right_v = v
+
+    def _solve_evp(self, v, opSVD, opt, nsv):
+        """Run the normal-operator eigensolver: the chunked device engine
+        (core/device_jacobi.py) when the algebra lives on an XLA device —
+        one dispatch per ``chunk`` iterations instead of ~10, which is what
+        makes the Jacobi engine fast on remote/tunneled TPUs — or the
+        reference-style host-orchestrated Solver otherwise."""
+        from ..algebra import dense_jax
+
+        use_device = (isinstance(v, dense_jax.Vectors)
+                      and getattr(opt, 'device_engine', 'auto') != 'host'
+                      and nsv[0] == 0)
+        if use_device:
+            import time as _time
+            from ..core.device_jacobi import DeviceJacobi, svd_normal_matmat
+
+            adata = self.__op.device_array()
+            aves = (opSVD.aves.device_data()[0] if self.__shift else None)
+            matmat = svd_normal_matmat(adata, self.__transp, self.__shift,
+                                       aves)
+            engine = DeviceJacobi(matmat, self.__shape[1],
+                                  dtype=v.data_type())
+            t0 = _time.time()
+            status = engine.solve(v, options=opt, nwanted=nsv[1],
+                                  verb=opt.verbosity)
+            opSVD.time += _time.time() - t0
+            return status, engine.iteration
+        solver = Solver(Problem(v, opSVD))
+        status = solver.solve(v, options=opt, which=nsv)
+        return status, solver.iteration
 
     # -- result accessors (numpy views, columns = singular vectors) -------
 
