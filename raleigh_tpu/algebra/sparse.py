@@ -178,28 +178,51 @@ class SparseSymmetricSolver:
 
 
 class IncompleteLU:
-    """ILU-type preconditioner via SuperLU's ILUTP (semantic parity with
-    the reference's MKL dcsrilut wrapper, sparse_mkl.py:122-140)."""
+    """Threshold incomplete-LU preconditioner backed by the native ILUT
+    engine (raleigh_tpu/native/ilut.cpp), honoring the reference's
+    ``factorize(tol, max_fill)`` semantics — drop tolerance relative to
+    the row norm, per-row fill cap of ``max_fill`` times the average
+    input row density (reference sparse_mkl.py:122-140 + the MKL
+    dcsrilut wrapper mkl_wrap.py:305-331).  Falls back to SuperLU's
+    ILUTP only when the native toolchain is unavailable."""
 
     def __init__(self, matrix):
-        self.__a = scs.csc_matrix(matrix)
+        self.__a = scs.csr_matrix(matrix)
         self.__ilu = None
+        self.__native = None
 
     def factorize(self, tol=1e-6, max_fill=1):
-        import scipy.sparse.linalg as spl
-        nnz_per_col = max(1, int(self.__a.nnz / self.__a.shape[0]))
-        self.__ilu = spl.spilu(self.__a, drop_tol=tol,
-                               fill_factor=1.0 + max_fill)
-        _ = nnz_per_col
+        from ..native.ldlt import native_available
+        if native_available():
+            from ..native.ldlt import ILUT
+            self.__native = ILUT(self.__a)
+            self.__native.factorize(tol=tol, max_fill=max_fill)
+        else:
+            import scipy.sparse.linalg as spl
+            self.__ilu = spl.spilu(scs.csc_matrix(self.__a), drop_tol=tol,
+                                   fill_factor=1.0 + max_fill)
+
+    def factor_nnz(self):
+        return self.__native.factor_nnz if self.__native is not None else 0
 
     def apply(self, x, y):
-        if self.__ilu is None:
+        if self.__native is None and self.__ilu is None:
             self.factorize()
         xd = np.asarray(_vec_data(x))
-        out = self.__ilu.solve(xd.T).T
-        try:
+        x2 = np.atleast_2d(xd)
+        if self.__native is not None:
+            if x2.dtype.kind == 'c':
+                # real factors: solve real/imag parts as extra RHS rows
+                re = self.__native.solve(np.concatenate((x2.real, x2.imag)))
+                out = re[:x2.shape[0]] + 1j * re[x2.shape[0]:]
+            else:
+                out = self.__native.solve(x2)
+        else:
+            out = self.__ilu.solve(x2.T).T
+        out = out.reshape(xd.shape)
+        if callable(getattr(y, 'data', None)):   # Vectors
             y.fill(out.astype(xd.dtype, copy=False))
-        except AttributeError:
+        else:
             y[...] = out
 
 

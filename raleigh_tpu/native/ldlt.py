@@ -15,7 +15,8 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = [os.path.join(_HERE, 'ldlt.cpp'), os.path.join(_HERE, 'amd.cpp'),
-        os.path.join(_HERE, 'nd.cpp'), os.path.join(_HERE, 'mf.cpp')]
+        os.path.join(_HERE, 'nd.cpp'), os.path.join(_HERE, 'mf.cpp'),
+        os.path.join(_HERE, 'ilut.cpp')]
 _LIB = os.path.join(_HERE, 'libldlt.so')
 _lock = threading.Lock()
 _lib = None
@@ -108,6 +109,16 @@ def _load():
         lib.zldltmf_factor_nnz.argtypes = [ctypes.c_void_p]
         lib.zldltmf_perturbed.restype = i64
         lib.zldltmf_perturbed.argtypes = [ctypes.c_void_p]
+        # threshold incomplete LU (ilut.cpp)
+        lib.ilut_create.restype = ctypes.c_void_p
+        lib.ilut_create.argtypes = [i64, p64, p64, pd]
+        lib.ilut_destroy.argtypes = [ctypes.c_void_p]
+        lib.ilut_factorize.restype = i64
+        lib.ilut_factorize.argtypes = [ctypes.c_void_p, ctypes.c_double,
+                                       i64]
+        lib.ilut_factor_nnz.restype = i64
+        lib.ilut_factor_nnz.argtypes = [ctypes.c_void_p]
+        lib.ilut_solve.argtypes = [ctypes.c_void_p, i64, pd]
         global _blas_ready
         path, prefix = _find_blas()
         if path is not None:
@@ -307,6 +318,69 @@ class SparseLDLT:
         try:
             if getattr(self, '_h', None):
                 getattr(self._lib, self._pre + 'destroy')(self._h)
+                self._h = None
+        except Exception:
+            pass
+
+
+class ILUT:
+    """Native threshold incomplete-LU factorization (ilut.cpp) with the
+    reference's knobs: drop tolerance relative to the row norm and a
+    per-row fill cap derived from the average input row density
+    (reference raleigh/algebra/mkl_wrap.py:305-331 dcsrilut semantics:
+    ``max_fill_abs = min(n - 1, avg_row_nnz * max_fill_rel)``)."""
+
+    def __init__(self, a):
+        import scipy.sparse as scs
+
+        a = scs.csr_matrix(a).astype(np.float64)
+        a.sort_indices()
+        n = a.shape[0]
+        if a.shape[0] != a.shape[1]:
+            raise ValueError('matrix must be square')
+        self.n = n
+        self.avg_row_nnz = max(1, a.nnz // n)
+        self._lib = _load()
+        self._ind = (a.indptr.astype(np.int64),
+                     a.indices.astype(np.int64),
+                     np.ascontiguousarray(a.data))
+        self._h = self._lib.ilut_create(
+            ctypes.c_int64(n), _ptr64(self._ind[0]), _ptr64(self._ind[1]),
+            _ptrd(self._ind[2]))
+        self.factor_nnz = 0
+
+    def factorize(self, tol=1e-6, max_fill=1):
+        maxfil = int(min(self.n - 1, self.avg_row_nnz * max_fill))
+        nnz = int(self._lib.ilut_factorize(
+            self._h, ctypes.c_double(tol), ctypes.c_int64(max(1, maxfil))))
+        if nnz < 0:
+            raise RuntimeError('ILUT broke down at row %d (zero row?)'
+                               % (-nnz - 1))
+        self.factor_nnz = nnz
+        return nnz
+
+    def solve(self, b):
+        """Solve L U x = b for block ``b`` of row right-hand sides
+        ((nrhs, n) or (n,)); returns x of the same shape."""
+        if self.factor_nnz == 0:
+            self.factorize()
+        b = np.asarray(b, dtype=np.float64)
+        one_d = b.ndim == 1
+        if one_d:
+            b = b.reshape(1, -1)
+        nrhs = b.shape[0]
+        # RHS-contiguous (n, nrhs); unconditional copy — the native solve
+        # overwrites its buffer in place, and for nrhs == 1 an
+        # ascontiguousarray of b.T would alias the caller's data
+        bt = b.T.copy(order='C')
+        self._lib.ilut_solve(self._h, ctypes.c_int64(nrhs), _ptrd(bt))
+        out = bt.T
+        return out[0] if one_d else out
+
+    def __del__(self):
+        try:
+            if getattr(self, '_h', None):
+                self._lib.ilut_destroy(self._h)
                 self._h = None
         except Exception:
             pass

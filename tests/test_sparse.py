@@ -232,3 +232,52 @@ def test_fill_reducing_orderings():
     x = s.solve(b)
     resid = np.max(np.abs(a3 @ x.T - b.T)) / np.max(np.abs(b))
     assert resid < 1e-10
+
+
+def test_native_ilut():
+    """Native threshold-ILU (ilut.cpp): exact solve at full fill, per-row
+    fill cap honored, preconditioner quality, complex RHS handling
+    (reference dcsrilut wrapper semantics, mkl_wrap.py:305-347)."""
+    from raleigh_tpu.native import ldlt
+    from raleigh_tpu.algebra.sparse import IncompleteLU
+
+    if not ldlt.native_available():
+        pytest.skip('native toolchain unavailable')
+
+    a = lap3d(10, 10, 10, 1.0, 1.0, 1.0)
+    n = a.shape[0]
+    rng = np.random.RandomState(5)
+    b = rng.standard_normal((4, n))
+
+    # (1) tiny tol + unbounded fill => a (nearly) exact LU
+    full = ldlt.ILUT(a)
+    full.factorize(tol=1e-14, max_fill=n)
+    x = full.solve(b)
+    assert np.linalg.norm(a @ x.T - b.T) / np.linalg.norm(b) < 1e-8
+
+    # (2) the per-row fill cap binds: nnz(L)+nnz(U) <= 2*maxfil*n + n
+    tight = ldlt.ILUT(a)
+    nnz = tight.factorize(tol=0.0, max_fill=1)
+    maxfil = max(1, a.nnz // n)     # max_fill=1 => avg row density
+    assert nnz <= (2 * maxfil + 1) * n
+
+    # (3) preconditioner quality: one ILUT apply must reduce the residual
+    pre = ldlt.ILUT(a)
+    pre.factorize(tol=1e-3, max_fill=4)
+    y = pre.solve(b)
+    r = b - (a @ y.T).T
+    assert np.linalg.norm(r) < 0.5 * np.linalg.norm(b)
+
+    # (4) IncompleteLU front end: complex block via real/imag split
+    T = IncompleteLU(a)
+    T.factorize(tol=1e-12, max_fill=n)
+    bc = (b[:2] + 1j * b[2:]).astype(np.complex128)
+    out = np.empty_like(bc)
+    T.apply(bc, out)
+    assert np.linalg.norm(a @ out.T - bc.T) / np.linalg.norm(bc) < 1e-8
+
+    # (5) single-RHS solve must not alias/overwrite the caller's data
+    b1 = b[0].copy()
+    x1 = full.solve(b1)
+    assert np.array_equal(b1, b[0])
+    assert np.allclose(x1, x[0])
