@@ -260,9 +260,12 @@ def _run_child(extra_env, timeout):
 def parent_main():
     """Retry transient device failures, fall back to CPU, and always
     print one JSON line (VERDICT round-1 item 2)."""
-    attempts = [({}, 2400), ({}, 2400), ({}, 2400),
+    # 600 s covers a cold-compile device run several times over; a wedged
+    # tunnel must not be allowed to eat the driver's whole bench budget
+    # before the CPU fallback gets its turn
+    attempts = [({}, 600), ({}, 600),
                 ({'JAX_PLATFORMS': 'cpu'}, 3000)]
-    backoff = [10, 30, 0, 0]
+    backoff = [20, 40, 0]
     last_err = None
     for i, (env, tmo) in enumerate(attempts):
         label = 'cpu-fallback' if env else 'device attempt %d' % (i + 1)

@@ -21,9 +21,16 @@ hot op onto the MXU.
 Algorithm: classical LOBPCG with hierarchical block orthonormalization
 (X ⊥ W ⊥ P by blocked two-pass Gram–Schmidt, per-block eigh-whitening with
 dead-column masking for float32 robustness) and Rayleigh–Ritz over
-span[X, W, P].  The preconditioner is any jit-traceable (n, m) -> (n, m)
-map — e.g. the fused Chebyshev recurrence (algebra/sparse.py) whose
-SpMMs inline into the same XLA program.
+span[X, W, P].  Generalized problems A x = λ B x (B symmetric positive
+definite, reference problem type 'gen', core/solver.py:224-258) run the
+same iteration in the B-inner product: every Gram, orthogonalization and
+whitening contracts against tracked B-images, so X stays B-orthonormal
+and the Ritz matrix reduces to Xᴴ A X.  Prior eigenvectors can be passed
+as ``constraints``: they are B-orthonormalized once and every block is
+deflated against them with exact A/B-image tracking (warm restart,
+reference core/solver.py:112-114,743-757).  The preconditioner is any
+jit-traceable (n, m) -> (n, m) map — e.g. the fused Chebyshev recurrence
+(algebra/sparse.py) whose SpMMs inline into the same XLA program.
 """
 
 from functools import partial
@@ -40,8 +47,16 @@ def _gram(a, b):
     return jnp.matmul(a.conj().T, b, precision=_HI)
 
 
-def _normalize_drop(block, sqrt_eps, dead0=None):
-    """Normalize columns to unit length; a column whose norm collapsed
+def _bnorms(block, bblock):
+    """Per-column B-norms given the block and its B-image (2-norms when
+    bblock is block itself)."""
+    return jnp.sqrt(jnp.maximum(
+        jnp.einsum('nm,nm->m', block.conj(), bblock, precision=_HI).real,
+        0.0))
+
+
+def _normalize_drop_pair(block, bblock, sqrt_eps, dead0=None):
+    """Normalize columns to unit B-length; a column whose norm collapsed
     below sqrt(eps) relative to the block's largest column is pure
     rounding noise (e.g. the residual of a converged pair, or a direction
     swallowed by an orthogonalization) — zero it and flag it dead.
@@ -50,42 +65,59 @@ def _normalize_drop(block, sqrt_eps, dead0=None):
     stable after convergence: a Gram-relative cutoff alone cannot tell a
     noise block from a live one (its Gram matrix has 100% rounding error
     but a perfectly fine condition number), and whitening such a block
-    manufactures columns of norm >> 1 that destroy the basis."""
-    norms = jnp.linalg.norm(block, axis=0)
+    manufactures columns of norm >> 1 that destroy the basis.
+
+    Column scaling commutes with the operators, so the B-image follows
+    exactly."""
+    norms = _bnorms(block, bblock)
     ref = jnp.maximum(jnp.max(norms), 1e-30)
     dead = norms <= sqrt_eps * ref
     if dead0 is not None:
         dead = dead | dead0
-    safe = jnp.where(norms == 0, 1.0, norms)
-    return jnp.where(dead[None, :], 0.0, block / safe[None, :]), dead
+    safe = jnp.where(norms == 0, 1.0, norms).astype(block.real.dtype)
+    out = jnp.where(dead[None, :], 0.0, block / safe[None, :])
+    bout = out if bblock is block else \
+        jnp.where(dead[None, :], 0.0, bblock / safe[None, :])
+    return out, bout, dead
 
 
-def _whiten(block, eps_rel, sqrt_eps, dead0=None):
-    """Orthonormalize the columns of ``block`` (unit-normalized, possibly
-    with zeroed dead columns) by eigh-whitening of its Gram matrix;
-    near-dependent directions are zeroed and flagged.
+def _whiten_pair(block, bblock, eps_rel, sqrt_eps, dead0=None):
+    """B-orthonormalize the columns of ``block`` (unit-B-normalized,
+    possibly with zeroed dead columns) by eigh-whitening of its B-Gram
+    matrix; near-dependent directions are zeroed and flagged.
 
-    Returns (orthonormal block with dead columns = 0, dead mask (m,))."""
-    g = _gram(block, block)
+    Returns (whitened block, whitened B-image, dead mask (m,))."""
+    g = _gram(block, bblock)
+    g = 0.5 * (g + g.conj().T)
     w, v = jnp.linalg.eigh(g)              # ascending, w >= 0 up to noise
     wmax = jnp.maximum(w[-1], 0.0)
     cutoff = wmax * eps_rel
     dead_g = w <= cutoff
     inv = jnp.where(dead_g, 0.0, 1.0 / jnp.sqrt(jnp.where(dead_g, 1.0, w)))
-    bw = jnp.matmul(block, v * inv[None, :], precision=_HI)
+    mix = v * inv[None, :]
+    bw = jnp.matmul(block, mix, precision=_HI)
+    bbw = bw if bblock is block else jnp.matmul(bblock, mix, precision=_HI)
     # a correctly whitened column is unit up to rounding; anything that
     # is not was noise-dominated — run the scale test once more
-    return _normalize_drop(bw, sqrt_eps, dead0)
+    return _normalize_drop_pair(bw, bbw, sqrt_eps, dead0)
 
 
-def _ortho_against(block, basis):
+def _ortho_against_pair(block, basis, bbasis, *extra):
     """Two-pass classical Gram-Schmidt of ``block`` against the
-    orthonormal ``basis`` (two passes restore orthogonality lost to
-    float32 rounding)."""
+    B-orthonormal ``basis`` in the B-inner product (q = basisᴴ B block =
+    (B basis)ᴴ block).  Any ``extra`` images of ``block`` (its tracked
+    A/B-images) receive the same row operation exactly — matrix
+    application commutes with column combinations."""
+    outs = list(extra)
     for _ in range(2):
-        block = block - jnp.matmul(basis, _gram(basis, block),
-                                   precision=_HI)
-    return block
+        q = _gram(bbasis, block)
+        block = block - jnp.matmul(basis, q, precision=_HI)
+        for i, (img, bas_img) in enumerate(outs):
+            outs[i] = (img - jnp.matmul(bas_img, q, precision=_HI),
+                       bas_img)
+    if not extra:
+        return block
+    return (block,) + tuple(img for img, _ in outs)
 
 
 def shard_operator(dm, mesh, axis='chips'):
@@ -105,11 +137,13 @@ def shard_operator(dm, mesh, axis='chips'):
     return dm
 
 
-def lobpcg(op, k, n=None, precond=None, block_size=None, tol=1e-4,
-           maxit=500, chunk=16, largest=False, x0=None, seed=1,
-           dtype=np.float32, verb=0, sharding=None):
+def lobpcg(op, k, n=None, opB=None, precond=None, block_size=None,
+           tol=1e-4, maxit=500, chunk=16, largest=False, x0=None,
+           constraints=None, seed=1, dtype=np.float32, verb=0,
+           sharding=None):
     """Compute the ``k`` algebraically smallest (or largest) eigenpairs of
-    a symmetric positive (semi-)definite operator entirely on device.
+    a symmetric positive (semi-)definite operator — or of the generalized
+    pencil (A, B) when ``opB`` is given — entirely on device.
 
     Parameters
     ----------
@@ -117,15 +151,23 @@ def lobpcg(op, k, n=None, precond=None, block_size=None, tol=1e-4,
         matrix from ops/spmm.py) or a jit-traceable callable.
     k : number of wanted eigenpairs.
     n : problem dimension (required when ``op`` is a bare callable).
+    opB : optional right-hand operator of a generalized problem
+        A x = λ B x; B must be symmetric (Hermitian) positive definite.
+        Same accepted forms as ``op``.  The returned eigenvectors are
+        B-orthonormal.
     precond : jit-traceable (n, m) -> (n, m) approximate inverse applied
         to the residual block (e.g. ``Chebyshev._device_fused()``), or
         None.
     block_size : iteration block m >= k (default: k + max(8, k//4)).
-    tol : convergence on ||A x - lmd x|| <= tol * anorm_est per wanted
+    tol : convergence on ||A x - lmd B x|| <= tol * anorm_est per wanted
         pair, anorm_est = running max |lmd| (scipy.lobpcg convention).
     chunk : device iterations per host dispatch (larger amortizes the
         dispatch latency of remote/tunneled devices).
     x0 : optional (n, >=m) initial guess block.
+    constraints : optional (n, nc) block of prior eigenvectors; the
+        iteration is deflated against their B-orthonormalized span, so
+        the solver computes the *next* k pairs (warm restart, reference
+        core/solver.py:112-114).
     sharding : optional jax.sharding.Sharding for the (n, m) iteration
         blocks (vector dimension sharded over the mesh); pair it with
         ``shard_operator`` so GSPMD partitions the whole superkernel.
@@ -140,6 +182,14 @@ def lobpcg(op, k, n=None, precond=None, block_size=None, tol=1e-4,
         # the operator (and preconditioner) may hold values in a different
         # precision; the iteration dtype is authoritative for the carries
         return matmat0(v).astype(v.dtype)
+    if opB is None:
+        def matmat_b(v):
+            return v
+    else:
+        matmat_b0 = opB.matmat_t if hasattr(opB, 'matmat_t') else opB
+
+        def matmat_b(v):
+            return matmat_b0(v).astype(v.dtype)
     if n is None:
         n = op.shape[0]
     m = block_size or min(n, k + max(8, k // 4))
@@ -154,34 +204,60 @@ def lobpcg(op, k, n=None, precond=None, block_size=None, tol=1e-4,
         def precond(w):
             return w
 
+    # ---- constraints: B-orthonormalize once, precompute A/B-images -----
+    if constraints is not None and np.size(constraints) > 0:
+        y = jnp.asarray(constraints, dtype=dtype)
+        if sharding is not None:
+            y = jax.device_put(y, sharding)
+        by0 = matmat_b(y)
+        y, by0, dead_y = _normalize_drop_pair(y, by0, sqrt_eps)
+        y, by0, dead_y = _whiten_pair(y, by0, eps_rel, sqrt_eps, dead_y)
+        ay = matmat(y)
+        by = matmat_b(y)
+    else:
+        y = jnp.zeros((n, 0), dtype=dtype)
+        ay = by = y
+
     @partial(jax.jit, static_argnames=('iters',))
-    def run(x, ax, p, ap, anorm, iters):
+    def run(x, ax, bx, p, ap, bp, anorm, iters):
         def body(_, state):
-            x, ax, p, ap, anorm = state
+            x, ax, bx, p, ap, bp, anorm = state
+            # re-deflate X against the constraints every iteration with
+            # exact image tracking: a leaked constraint direction with a
+            # more extreme eigenvalue is amplified exponentially by the
+            # Rayleigh-Ritz optimization, so the leak must be reset to
+            # rounding level each step
+            q = _gram(by, x)
+            x = x - jnp.matmul(y, q, precision=_HI)
+            ax = ax - jnp.matmul(ay, q, precision=_HI)
+            if opB is not None:
+                bx = bx - jnp.matmul(by, q, precision=_HI)
+            else:
+                bx = x
             lam = jnp.einsum('nm,nm->m', x.conj(), ax,
                              precision=_HI).real
             anorm = jnp.maximum(anorm, jnp.max(jnp.abs(lam)))
-            w = ax - x * lam[None, :]
+            w = ax - bx * lam[None, :].astype(x.dtype)
             w = precond(w).astype(w.dtype)
-            # hierarchical orthonormalization: X is orthonormal; W ⊥ X;
-            # P ⊥ X, W.  Dead (noise or rank-deficient) columns are
-            # zeroed and masked out of the Rayleigh-Ritz selection.
-            w, dead_w = _normalize_drop(w, sqrt_eps)
-            w = _ortho_against(w, x)
-            w, dead_w = _normalize_drop(w, sqrt_eps, dead_w)
-            w, dead_w = _whiten(w, eps_rel, sqrt_eps, dead_w)
-            p, dead_p = _normalize_drop(p, sqrt_eps)
-            p = _ortho_against(p, x)
-            p = _ortho_against(p, w)
-            p, dead_p = _normalize_drop(p, sqrt_eps, dead_p)
-            p, dead_p = _whiten(p, eps_rel, sqrt_eps, dead_p)
+            # hierarchical B-orthonormalization: X is B-orthonormal;
+            # W ⊥_B Y, X; P ⊥_B Y, X, W.  Dead (noise or rank-deficient)
+            # columns are zeroed and masked out of the Rayleigh-Ritz
+            # selection.
+            w, _, dead_w = _normalize_drop_pair(w, w, sqrt_eps)
+            w = _ortho_against_pair(w, y, by)
+            w = _ortho_against_pair(w, x, bx)
+            bw = matmat_b(w)
+            w, bw, dead_w = _normalize_drop_pair(w, bw, sqrt_eps, dead_w)
+            w, bw, dead_w = _whiten_pair(w, bw, eps_rel, sqrt_eps, dead_w)
+            # fresh Krylov direction: one A application
             aw = matmat(w)
-            # A-images transform linearly under the (dense, small)
-            # orthonormalization maps, but recomputing them via one SpMM
-            # on the final W keeps the program simpler; P's image is
-            # tracked exactly through the Ritz update below, so only W
-            # costs an operator application per iteration... P changed
-            # under ortho though, so recompute its image too.
+            p, _, dead_p = _normalize_drop_pair(p, p, sqrt_eps)
+            p = _ortho_against_pair(p, y, by)
+            p = _ortho_against_pair(p, x, bx)
+            p = _ortho_against_pair(p, w, bw)
+            bp = matmat_b(p)
+            p, bp, dead_p = _normalize_drop_pair(p, bp, sqrt_eps, dead_p)
+            p, bp, dead_p = _whiten_pair(p, bp, eps_rel, sqrt_eps, dead_p)
             ap = matmat(p)
             s = jnp.concatenate((x, w, p), axis=1)
             a_s = jnp.concatenate((ax, aw, ap), axis=1)
@@ -202,18 +278,30 @@ def lobpcg(op, k, n=None, precond=None, block_size=None, tol=1e-4,
             cwp = cm.at[:m, :].set(0)
             pn = jnp.matmul(s, cwp, precision=_HI)
             apn = jnp.matmul(a_s, cwp, precision=_HI)
-            return xn, axn, pn, apn, anorm
+            if opB is not None:
+                b_s = jnp.concatenate((bx, bw, bp), axis=1)
+                bxn = jnp.matmul(b_s, cm, precision=_HI)
+                bpn = jnp.matmul(b_s, cwp, precision=_HI)
+            else:
+                bxn, bpn = xn, pn
+            return xn, axn, bxn, pn, apn, bpn, anorm
 
-        x, ax, p, ap, anorm = jax.lax.fori_loop(
-            0, iters, body, (x, ax, p, ap, anorm))
+        x, ax, bx, p, ap, bp, anorm = jax.lax.fori_loop(
+            0, iters, body, (x, ax, bx, p, ap, bp, anorm))
+        # chunk exit: re-deflate and refresh the images so the host's
+        # convergence decision sees trustworthy residuals
+        q = _gram(by, x)
+        x = x - jnp.matmul(y, q, precision=_HI)
+        ax = matmat(x)
+        bx = matmat_b(x)
         lam = jnp.einsum('nm,nm->m', x.conj(), ax,
                          precision=_HI).real
         anorm = jnp.maximum(anorm, jnp.max(jnp.abs(lam)))
-        r = ax - x * lam[None, :]
+        r = ax - bx * lam[None, :].astype(x.dtype)
         resid = jnp.linalg.norm(r, axis=0)
         order = jnp.argsort(sign * lam)
-        return x[:, order], ax[:, order], p, ap, anorm, lam[order], \
-            resid[order]
+        return x[:, order], ax[:, order], bx[:, order], p, ap, bp, anorm, \
+            lam[order], resid[order]
 
     # ---- initial block -----------------------------------------------
     if x0 is not None:
@@ -227,27 +315,71 @@ def lobpcg(op, k, n=None, precond=None, block_size=None, tol=1e-4,
         x = jax.random.normal(jax.random.PRNGKey(seed), (n, m), dtype)
     if sharding is not None:
         x = jax.device_put(x, sharding)
-    x, _ = _whiten(x, eps_rel, sqrt_eps)
+    x = _ortho_against_pair(x, y, by)
+    bx0 = matmat_b(x)
+    x, bx0, dead_x = _normalize_drop_pair(x, bx0, sqrt_eps)
+    x, bx, _ = _whiten_pair(x, bx0, eps_rel, sqrt_eps, dead_x)
     ax = matmat(x)
     p = jnp.zeros_like(x)
     ap = jnp.zeros_like(x)
+    bp = p if opB is None else jnp.zeros_like(x)
     anorm = jnp.zeros((), jnp.float32 if np.dtype(dtype).itemsize < 8
                       else jnp.float64)
 
+    # initial observability (also the rollback target if the very first
+    # chunk degenerates)
+    lam0 = jnp.einsum('nm,nm->m', x.conj(), ax, precision=_HI).real
+    r0 = jnp.linalg.norm(ax - bx * lam0[None, :].astype(x.dtype), axis=0)
+    lam_h, resid_h = jax.device_get((lam0, r0))
+    anorm_h = float(np.max(np.abs(lam_h)))
+
     niter = 0
     status = 2
-    lam = resid = None
+    restarts = 0
+    stall = 0
+    best = np.inf
     while niter < maxit:
         iters = min(chunk, maxit - niter)
-        x, ax, p, ap, anorm, lam, resid = run(x, ax, p, ap, anorm, iters)
+        state_in = (x, ax, bx, p, ap, bp, anorm)
+        x, ax, bx, p, ap, bp, anorm, lam, resid = run(*state_in, iters)
         niter += iters
-        lam_h, resid_h, anorm_h = jax.device_get((lam, resid, anorm))
+        lam_t, resid_t, anorm_t = jax.device_get((lam, resid, anorm))
+        if not (np.all(np.isfinite(lam_t)) and np.all(np.isfinite(resid_t))):
+            # post-convergence noise blocks can degenerate when the caller
+            # over-iterates far past the engine's accuracy floor: roll
+            # back to the pre-chunk state, reset the conjugate directions,
+            # and retry once; give up (status 3, "no search directions",
+            # reference core/solver.py:305-331) on repeat
+            x, ax, bx, p, ap, bp, anorm = state_in
+            p = jnp.zeros_like(p)
+            ap = jnp.zeros_like(p)
+            bp = p if opB is None else jnp.zeros_like(p)
+            restarts += 1
+            if verb > 0:
+                print('iter %4d: non-finite chunk, rolling back (%d)'
+                      % (niter, restarts))
+            if restarts > 2:
+                status = 3
+                break
+            continue
+        lam_h, resid_h, anorm_h = lam_t, resid_t, anorm_t
         if verb > 0:
             print('iter %4d: lmd[:%d] %s, resid %s' % (
                 niter, min(k, 4), np.round(lam_h[:min(k, 4)], 6),
                 np.format_float_scientific(resid_h[:k].max(), 2)))
+        rmax = float(resid_h[:k].max())
         if np.all(resid_h[:k] <= tol * max(anorm_h, 1e-30)):
             status = 0
             break
+        # stall detection: once the residual stops improving the iterate
+        # sits at the engine's accuracy floor — more chunks only risk
+        # degeneracy (and waste dispatches)
+        if rmax > 0.99 * best:
+            stall += 1
+            if stall >= 4:
+                break
+        else:
+            stall = 0
+        best = min(best, rmax)
     return (np.asarray(lam_h[:k]), np.asarray(x[:, :k]),
             np.asarray(resid_h[:k]), niter, status)

@@ -132,19 +132,21 @@ def partial_hevp(A, B=None, T=None, buckling=False, sigma=0, which=6,
         if buckling:
             raise ValueError('preconditioning for buckling problems is not'
                              ' supported')
-        # device engine: a standard problem on a device arch with a
-        # jit-traceable preconditioner runs in the fully device-resident
-        # LOBPCG superkernel (core/device_solver.py) — the whole iteration
-        # is one XLA program instead of ~10 dispatches per iteration
-        if (engine in ('auto', 'device') and B is None
+        # device engine: a standard or generalized problem on a device
+        # arch with a jit-traceable preconditioner runs in the fully
+        # device-resident LOBPCG superkernel (core/device_solver.py) —
+        # the whole iteration is one XLA program instead of ~10
+        # dispatches per iteration.  Generalized problems iterate in the
+        # B-inner product (B must be positive definite).
+        if (engine in ('auto', 'device')
                 and not isinstance(which, tuple)
                 and str(arch).lower().startswith(('tpu', 'gpu', 'jax'))
                 and (T is None or hasattr(T, '_device_fused'))):
-            return _device_path(A, T, which, tol, verb, opt, arch)
+            return _device_path(A, B, T, which, tol, verb, opt, arch)
         if engine == 'device':
-            raise ValueError("engine='device' needs a std problem (B=None),"
-                             " integer which, a device arch, and a"
-                             " jit-traceable preconditioner")
+            raise ValueError("engine='device' needs an integer which, a"
+                             " device arch, and a jit-traceable"
+                             " preconditioner")
         opA = SparseSymmetricMatrix(A, arch=arch)
         n = opA.size()
         dtype = opA.data_type().type
@@ -191,12 +193,15 @@ def partial_hevp(A, B=None, T=None, buckling=False, sigma=0, which=6,
     return lmd, x, status
 
 
-def _device_path(A, T, which, tol, verb, opt, arch):
-    """Preconditioned std problem on the device-resident LOBPCG engine."""
+def _device_path(A, B, T, which, tol, verb, opt, arch):
+    """Preconditioned std/gen problem on the device-resident LOBPCG
+    engine (B-inner-product iteration when B is given)."""
     from ..core.device_solver import lobpcg
 
     opA = SparseSymmetricMatrix(A, arch=arch)
     dev = opA.device_matrix()
+    devB = (SparseSymmetricMatrix(B, arch=arch).device_matrix()
+            if B is not None else None)
     precond = T._device_fused() if T is not None else None
     maxit = getattr(opt, 'max_iter', -1)
     if maxit is None or maxit < 0:
@@ -207,7 +212,7 @@ def _device_path(A, T, which, tol, verb, opt, arch):
         _x64_enabled() else np.float32
     start = time.time()
     lmd, x, resid, niter, status = lobpcg(
-        dev, which, precond=precond, block_size=block, tol=tol,
+        dev, which, opB=devB, precond=precond, block_size=block, tol=tol,
         maxit=maxit, verb=max(verb, 0), dtype=dtype)
     if verb > -1:
         print('iterations: %d, solve time: %.2e'

@@ -172,3 +172,107 @@ def test_partial_hevp_device_engine(lap):
     # engine='device' without a jit-traceable preconditioner is an error
     with pytest.raises(ValueError):
         partial_hevp(a, T=T, which=5, arch='cpu', engine='device')
+
+
+def test_lobpcg_generalized():
+    """Generalized pencil A x = lmd B x on the device engine: B-inner
+    iteration, B-orthonormal result (reference problem type 'gen',
+    core/solver.py:224-258)."""
+    import scipy.sparse as scs
+    import scipy.sparse.linalg as spl
+    from raleigh_tpu.core.device_solver import lobpcg
+    from raleigh_tpu.ops.spmm import device_sparse
+    from raleigh_tpu.examples.laplace import lap2d
+
+    a = lap2d(20, 20, 1.0, 1.0)
+    n = a.shape[0]
+    rng = np.random.RandomState(2)
+    b = scs.diags(1.0 + rng.rand(n), format='csr')
+    dmA = device_sparse(a, dtype=np.float64)
+    dmB = device_sparse(b, dtype=np.float64)
+    lam, x, r, it, st = lobpcg(dmA, 6, opB=dmB, tol=1e-6, maxit=300,
+                               dtype=np.float64)
+    assert st == 0
+    w = np.sort(spl.eigsh(a, M=b, k=6, sigma=0, which='LM',
+                          return_eigenvectors=False))
+    assert np.abs(np.sort(lam) - w).max() / w.max() < 1e-6
+    g = x.T @ (b @ x)
+    assert np.abs(g - np.eye(6)).max() < 1e-6
+
+
+def test_lobpcg_constraints_deflate():
+    """Warm restart on device: prior eigenvectors passed as constraints
+    deflate the iteration, so the solver returns the NEXT pairs
+    (reference core/solver.py:112-114,743-757)."""
+    import scipy.sparse as scs
+    import scipy.sparse.linalg as spl
+    from raleigh_tpu.core.device_solver import lobpcg
+    from raleigh_tpu.ops.spmm import device_sparse
+    from raleigh_tpu.examples.laplace import lap2d
+
+    a = lap2d(20, 20, 1.0, 1.0)
+    n = a.shape[0]
+    rng = np.random.RandomState(2)
+    b = scs.diags(1.0 + rng.rand(n), format='csr')
+    dmA = device_sparse(a, dtype=np.float64)
+    dmB = device_sparse(b, dtype=np.float64)
+    lam, x, _, _, st = lobpcg(dmA, 6, opB=dmB, tol=1e-6, maxit=300,
+                              dtype=np.float64)
+    assert st == 0
+    lam2, x2, _, _, st2 = lobpcg(dmA, 4, opB=dmB, constraints=x,
+                                 tol=1e-6, maxit=300, dtype=np.float64)
+    assert st2 == 0
+    w = np.sort(spl.eigsh(a, M=b, k=10, sigma=0, which='LM',
+                          return_eigenvectors=False))
+    assert np.abs(np.sort(lam2) - w[6:10]).max() / w.max() < 1e-6
+    # constrained result is B-orthogonal to the constraint span
+    assert np.abs(x.T @ (b @ x2)).max() < 1e-6
+
+
+def test_lobpcg_overiteration_stays_finite():
+    """Requesting a tolerance below the engine's accuracy floor must end
+    in a finite result (stall detection / non-finite rollback), never
+    NaN."""
+    import scipy.sparse as scs
+    from raleigh_tpu.core.device_solver import lobpcg
+    from raleigh_tpu.ops.spmm import device_sparse
+    from raleigh_tpu.examples.laplace import lap2d
+
+    a = lap2d(20, 20, 1.0, 1.0)
+    n = a.shape[0]
+    rng = np.random.RandomState(2)
+    b = scs.diags(1.0 + rng.rand(n), format='csr')
+    dmA = device_sparse(a, dtype=np.float64)
+    dmB = device_sparse(b, dtype=np.float64)
+    lam, x, r, it, st = lobpcg(dmA, 6, opB=dmB, tol=1e-15, maxit=400,
+                               dtype=np.float64)
+    assert np.all(np.isfinite(lam)) and np.all(np.isfinite(x))
+    lam2, x2, r2, it2, st2 = lobpcg(dmA, 4, opB=dmB, constraints=x,
+                                    tol=1e-15, maxit=400,
+                                    dtype=np.float64)
+    assert np.all(np.isfinite(lam2)) and np.all(np.isfinite(x2))
+    # both runs stalled out early instead of burning maxit
+    assert it + it2 < 800
+
+
+def test_partial_hevp_generalized_device_engine():
+    """partial_hevp routes generalized preconditioned problems through
+    the device LOBPCG superkernel (VERDICT round-1 item 6)."""
+    import scipy.sparse as scs
+    import scipy.sparse.linalg as spl
+    from raleigh_tpu.interfaces.partial_hevp import partial_hevp
+    from raleigh_tpu.algebra.sparse import Chebyshev, spectral_bounds
+    from raleigh_tpu.examples.laplace import lap2d
+
+    a = lap2d(16, 16, 1.0, 1.0)
+    n = a.shape[0]
+    rng = np.random.RandomState(4)
+    b = scs.diags(1.0 + rng.rand(n), format='csr')
+    lo, hi = spectral_bounds(a)
+    T = Chebyshev(a, hi * 1e-4, hi, degree=10, arch='tpu')
+    lmd, x, status = partial_hevp(a, B=b, T=T, which=5, tol=1e-6,
+                                  verb=-1, arch='tpu', engine='device')
+    assert status == 0
+    w = np.sort(spl.eigsh(a, M=b, k=5, sigma=0, which='LM',
+                          return_eigenvectors=False))
+    assert np.abs(np.sort(lmd)[:5] - w).max() / w.max() < 1e-4
