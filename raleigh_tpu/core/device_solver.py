@@ -47,6 +47,22 @@ def _gram(a, b):
     return jnp.matmul(a.conj().T, b, precision=_HI)
 
 
+def _eigh_small(h):
+    """Eigendecomposition of a small (block-sized) Gram matrix.  The
+    reference solves its Rayleigh-Ritz problem in float64 regardless of
+    the vector dtype (core/solver.py:1437-1473 "full G in float64"); do
+    the same whenever x64 is live — the matrix is (3m x 3m), so the cost
+    is nil, and float32 iterations resolve eigenvalue clusters that an
+    all-f32 Ritz step cannot.  On a real TPU without x64 this is an
+    identity gate and the eigh stays f32."""
+    if jax.config.jax_enable_x64 and h.dtype in (jnp.float32,
+                                                 jnp.complex64):
+        wide = jnp.complex128 if jnp.iscomplexobj(h) else jnp.float64
+        w, v = jnp.linalg.eigh(h.astype(wide))
+        return w.astype(h.real.dtype), v.astype(h.dtype)
+    return jnp.linalg.eigh(h)
+
+
 def _bnorms(block, bblock):
     """Per-column B-norms given the block and its B-image (2-norms when
     bblock is block itself)."""
@@ -266,11 +282,16 @@ def lobpcg(op, k, n=None, opB=None, precond=None, block_size=None,
             dead = jnp.concatenate(
                 (jnp.zeros((m,), bool), dead_w, dead_p))
             # push dead (zeroed) basis columns past the live spectrum so
-            # the Ritz selection never picks them; keep the offset within
-            # float32 eigh's comfortable range
-            big = (jnp.max(jnp.abs(jnp.diagonal(h))) + 1.0) * 1e4
+            # the Ritz selection never picks them.  The live spectrum of
+            # the (3m x 3m) Gram of a B-orthonormal basis is bounded by
+            # 3m * max|diag| (Cauchy-Schwarz on a PSD pencil), so a
+            # 4*(3m) multiple clears it while inflating ||h|| — and with
+            # it the O(eps*||h||) backward error of a float32 eigh — by
+            # only ~1e2 instead of the 1e4 that used to stall f32 runs
+            big = (jnp.max(jnp.abs(jnp.diagonal(h))) + 1.0) * \
+                (4.0 * s.shape[1])
             h = h + jnp.diag(jnp.where(dead, big, 0.0).astype(h.dtype))
-            vals, c = jnp.linalg.eigh(h)
+            vals, c = _eigh_small(h)
             cm = c[:, :m]
             xn = jnp.matmul(s, cm, precision=_HI)
             axn = jnp.matmul(a_s, cm, precision=_HI)
