@@ -956,71 +956,51 @@ class Solver:
                              block_size, left_block_size,
                              left_block_size_new)
 
-            # Rayleigh-Ritz coefficients for the new X and the retained
-            # "old search directions" Z
+            # Rayleigh-Ritz basis change: pull Q back to the (X, Y) basis,
+            # then split its columns - the outer (kept Ritz-pair) columns
+            # rebuild X, the interior ones become the conjugate history Z
             Q[nx:nxy, :] = np.dot(Qy, Q[nx:nxy, :])
             Q = sla.solve_triangular(U, Q)
-            lmdx = np.concatenate((lmdxy[:leftX_new],
-                                   lmdxy[nxy - rightX_new:]))
-            QX = np.concatenate((Q[:, :leftX_new], Q[:, nxy - rightX_new:]),
-                                axis=1)
-            lft, rgt = leftX_new, rightX_new
-            nz = nxy - lft - rgt
-            lmdz = lmdxy[lft:nxy - rgt]
-            QZ = Q[:, lft:nxy - rgt]
-            QXX = QX[:nx, :].copy() if nx > 0 else None
-            QYX = QX[nx:, :].copy()
-            QXZ = QZ[:nx, :].copy() if nx > 0 else None
-            QYZ = QZ[nx:, :].copy()
+            outer = np.r_[0:leftX_new, nxy - rightX_new:nxy]
+            lmdx = lmdxy[outer]
+            lmdz = lmdxy[leftX_new:nxy - rightX_new]
+            cX = np.ascontiguousarray(Q[:, outer])
+            cZ = np.ascontiguousarray(Q[:, leftX_new:nxy - rightX_new])
+            nz = cZ.shape[1]
 
-            # update X, Z and their A-/B-images through the RR coefficients
-            W.select(nx_new)
-            Z.select(nx_new)
-            if nx > 0:
-                AX.multiply(QXX, W)
-                W.add(AY, 1.0, QYX)
-            else:
-                AY.multiply(QYX, W)
-            if nz > 0:
-                Z.select(nz)
-                AY.multiply(QYZ, Z)
-                AZ.select(nz)
-                if nx > 0:
-                    Z.add(AX, 1.0, QXZ)
-                Z.copy(AZ)
-            AX.select(nx_new, ix_new)
-            W.copy(AX)
-            if not std:
-                Z.select(nx_new)
-                if nx > 0:
-                    BX.multiply(QXX, W)
-                    W.add(BY, 1.0, QYX)
-                else:
-                    BY.multiply(QYX, W)
+            def retarget(top, bot, dst_x, dst_z, via):
+                """dst_x <- [top; bot] cX and dst_z <- [top; bot] cZ on
+                the backend.  Both combinations are formed in scratch
+                (W resp. ``via``) before either destination is written:
+                the workspace aliases dst_x with ``top`` and — for the
+                A-/B-image triples — dst_z with ``bot`` (AZ is AY, BZ is
+                BY), so a destination write before both reads would
+                corrupt the other combination's source."""
+                zbuf = dst_z if via is None else via
                 if nz > 0:
-                    Z.select(nz)
-                    BY.multiply(QYZ, Z)
-                    BZ.select(nz)
+                    zbuf.select(nz)
+                    bot.multiply(cZ[nx:], zbuf)
                     if nx > 0:
-                        Z.add(BX, 1.0, QXZ)
-                    Z.copy(BZ)
-                BX.select(nx_new, ix_new)
-                W.copy(BX)
-            else:
-                BZ = Z
-            Z.select(nx_new)
-            if nx > 0:
-                X.multiply(QXX, W)
-                W.add(Y, 1.0, QYX)
-            else:
-                Y.multiply(QYX, W)
-            if nz > 0:
-                Z.select(nz)
-                Y.multiply(QYZ, Z)
+                        zbuf.add(top, 1.0, cZ[:nx])
+                W.select(nx_new)
                 if nx > 0:
-                    Z.add(X, 1.0, QXZ)
-            X.select(nx_new, ix_new)
-            W.copy(X)
+                    top.multiply(cX[:nx], W)
+                    W.add(bot, 1.0, cX[nx:])
+                else:
+                    bot.multiply(cX[nx:], W)
+                if nz > 0 and via is not None:
+                    dst_z.select(nz)
+                    zbuf.copy(dst_z)
+                dst_x.select(nx_new, ix_new)
+                W.copy(dst_x)
+
+            retarget(AX, AY, AX, AZ, via=Z)
+            if std:
+                BZ = Z
+            else:
+                retarget(BX, BY, BX, BZ, via=Z)
+            retarget(X, Y, X, Z, via=None)
+            Z.select(nz if nz > 0 else nx_new)
 
             nx = nx_new
             ix = ix_new
@@ -1205,50 +1185,45 @@ class Solver:
     def _rebalance(self, left, right, lcon, rcon, ix, nx, ny, nxy,
                    leftX, rightX, block_size, left_block_size,
                    left_total, right_total, left_ratio, verb):
-        """Choose how many slots each margin gets next iteration, handling
-        the exhaustion of one side (reference core/solver.py:1495-1541)."""
-        if left < 0:
-            shift_left = ix
-        elif lcon > 0:
-            shift_left = min(max(0, left_total - self.lcon - leftX), ix)
-        else:
-            shift_left = 0
-        if right < 0:
-            shift_right = block_size - ix - nx
-        elif rcon > 0:
-            shift_right = min(max(0, right_total - self.rcon - rightX),
-                              block_size - ix - nx)
-        else:
-            shift_right = 0
-        if shift_left + shift_right > ny:
-            shift_left = min(shift_left, int(round(left_ratio * ny)))
-            shift_right = min(shift_right, ny - shift_left)
+        """Redistribute block slots between the two spectrum margins for
+        the next iteration (capability of reference core/solver.py:
+        1495-1541).  Each margin claims as many fresh slots as it still
+        has wanted eigenpairs outstanding (everything available when the
+        margin is open-ended), total claims are scaled to the ny new
+        directions by the running left/right ratio, and a margin that
+        has fully converged donates its entire allocation to the other
+        side (negative shift = its slots leave the window)."""
+        def claim(margin_wanted, margin_con, outstanding, capacity):
+            if margin_wanted < 0:                 # open-ended margin
+                return capacity
+            if margin_con > 0:                    # converged some: refill
+                return min(capacity, max(0, outstanding))
+            return 0
+
+        want_l = claim(left, lcon, left_total - self.lcon - leftX, ix)
+        want_r = claim(right, rcon, right_total - self.rcon - rightX,
+                       block_size - ix - nx)
+        if want_l + want_r > ny:
+            want_l = min(want_l, int(round(left_ratio * ny)))
+            want_r = min(want_r, ny - want_l)
+
         if left > 0 and lcon > 0 and self.lcon >= left:
             if verb > 0:
                 print('left-hand side converged')
-            leftX_new = 0
-            l = left_block_size
-            rightX_new = min(nxy, l + rightX + shift_right)
-            left_block_size_new = l + rightX + shift_right - rightX_new
-            shift_left = -leftX - lcon
-            left_ratio = 0.0
-            ix_new = left_block_size_new
-        elif right > 0 and rcon > 0 and self.rcon >= right:
+            # everything (old left allocation included) goes to the right
+            pool = left_block_size + rightX + want_r
+            kept = min(nxy, pool)
+            return (-(leftX + lcon), want_r, 0, kept, pool - kept,
+                    pool - kept, 0.0)
+        if right > 0 and rcon > 0 and self.rcon >= right:
             if verb > 0:
                 print('right-hand side converged')
-            ix_new = ix - shift_left
-            leftX_new = min(nxy, block_size - ix_new)
-            rightX_new = 0
-            shift_right = -rightX - rcon
-            left_block_size_new = ix_new + leftX_new
-            left_ratio = 1.0
-        else:
-            leftX_new = leftX + shift_left
-            rightX_new = rightX + shift_right
-            left_block_size_new = left_block_size
-            ix_new = ix - shift_left
-        return (shift_left, shift_right, leftX_new, rightX_new,
-                left_block_size_new, ix_new, left_ratio)
+            ix_new = ix - want_l
+            kept = min(nxy, block_size - ix_new)
+            return (want_l, -(rightX + rcon), kept, 0, ix_new + kept,
+                    ix_new, 1.0)
+        return (want_l, want_r, leftX + want_l, rightX + want_r,
+                left_block_size, ix - want_l, left_ratio)
 
 
 # ---------------------------------------------------------------------------
@@ -1290,62 +1265,50 @@ def _find_clusters(cluster, lmd, left_block_size, block_size,
             cluster[1, i - 1] = cluster[1, i] + 1
 
 
-def _reset_slot(i, cnv, res, acf, err_lmd, dlmd, err_X, dX, iterations):
-    cnv[i] = 0
-    res[i] = -1.0
-    acf[:, i] = 1.0
-    err_lmd[:, i] = -1.0
-    dlmd[i, :] = 0
-    err_X[:, i] = -1.0
-    dX[i] = 1.0
-    iterations[i] = 0
-
-
 def _shift_slot_data(cnv, lmd, res, acf, err_lmd, dlmd, err_X, dX,
                      iterations, shift_left, shift_right, block_size,
                      left_block_size, left_block_size_new):
-    """Slide per-slot convergence data when the active window moves
-    (reference core/solver.py:1543-1587)."""
-    m = block_size
-    l = left_block_size
-    nl = left_block_size_new
+    """Slide the per-slot convergence records (status, eigenvalue,
+    residual, a.c.f., error-estimate and decrement histories) when the
+    iterated block's margins move, and blank the slots newly entering
+    the window.  Capability of reference core/solver.py:1543-1587,
+    vectorized over slots instead of per-slot loops; a negative shift
+    means the margin's slots all left the window, so its whole half is
+    blanked."""
+    m, l, nl = block_size, left_block_size, left_block_size_new
+    # every tracked record, paired with the axis that indexes the slot
+    tracks = ((cnv, 0), (lmd, 0), (res, 0), (acf, 1), (err_lmd, 1),
+              (dlmd, 0), (err_X, 1), (dX, 0), (iterations, 0))
+
+    def slide(dst, src, count):
+        if dst != src and count > 0:
+            for rec, axis in tracks:
+                v = rec if axis == 0 else np.swapaxes(rec, 0, 1)
+                v[dst:dst + count] = v[src:src + count].copy()
+
+    def blank(lo, hi):
+        if hi > lo:
+            sl = slice(lo, hi)
+            cnv[sl] = 0
+            iterations[sl] = 0
+            dlmd[sl, :] = 0
+            res[sl] = -1.0
+            err_lmd[:, sl] = -1.0
+            err_X[:, sl] = -1.0
+            acf[:, sl] = 1.0
+            dX[sl] = 1.0
+
     if shift_left > 0:
-        for i in range(l - shift_left):
-            j = i + shift_left
-            cnv[i] = cnv[j]
-            lmd[i] = lmd[j]
-            res[i] = res[j]
-            acf[:, i] = acf[:, j]
-            err_lmd[:, i] = err_lmd[:, j]
-            dlmd[i, :] = dlmd[j, :]
-            err_X[:, i] = err_X[:, j]
-            dX[i] = dX[j]
-            iterations[i] = iterations[j]
-    if shift_left >= 0:
-        for i in range(l - shift_left, nl):
-            _reset_slot(i, cnv, res, acf, err_lmd, dlmd, err_X, dX,
-                        iterations)
+        slide(0, shift_left, l - shift_left)
+        blank(l - shift_left, nl)
+    elif shift_left == 0:
+        blank(l, nl)
     else:
-        for i in range(l):
-            _reset_slot(i, cnv, res, acf, err_lmd, dlmd, err_X, dX,
-                        iterations)
+        blank(0, l)
     if shift_right > 0:
-        for i in range(m - 1, l + shift_right - 1, -1):
-            j = i - shift_right
-            cnv[i] = cnv[j]
-            lmd[i] = lmd[j]
-            res[i] = res[j]
-            acf[:, i] = acf[:, j]
-            err_lmd[:, i] = err_lmd[:, j]
-            dlmd[i, :] = dlmd[j, :]
-            err_X[:, i] = err_X[:, j]
-            dX[i] = dX[j]
-            iterations[i] = iterations[j]
-    if shift_right >= 0:
-        for i in range(l + shift_right - 1, nl - 1, -1):
-            _reset_slot(i, cnv, res, acf, err_lmd, dlmd, err_X, dX,
-                        iterations)
+        slide(l + shift_right, l, m - l - shift_right)
+        blank(nl, l + shift_right)
+    elif shift_right == 0:
+        blank(nl, l)
     else:
-        for i in range(l, m):
-            _reset_slot(i, cnv, res, acf, err_lmd, dlmd, err_X, dX,
-                        iterations)
+        blank(l, m)
