@@ -25,23 +25,12 @@ class LowerRankApproximation:
     """Holds and refines a lower-rank approximation of a dense matrix."""
 
     def __init__(self, mlr=None):
-        if mlr is None:
-            self.__mean = None
-            self.__left = None
-            self.__right = None
-            self.__rank = 0
-            self.__dtype = None
-        else:
-            self.__mean, self.__left, self.__right = mlr
-            self.__rank = self.__right.shape[0]
-            self.__dtype = self.__left.dtype.type
-        self.__left_v = None
-        self.__right_v = None
-        self.__mean_v = None
-        self.__tol = -1
-        self.__svtol = 1e-3
-        self.__norm = None
-        self.__arch = None
+        self.__mean, self.__left, self.__right = mlr or (None, None, None)
+        self.__rank = 0 if mlr is None else self.__right.shape[0]
+        self.__dtype = None if mlr is None else self.__left.dtype.type
+        self.__mean_v = self.__left_v = self.__right_v = None
+        self.__tol, self.__svtol = -1, 1e-3
+        self.__norm = self.__arch = None
         self.__opt = Options()
         self.ortho = 1.0
         self.iterations = -1
@@ -71,17 +60,12 @@ class LowerRankApproximation:
                                                   psvd.vectors(), shift)
 
         psvd.compute(matrix, opt=opt, nsv=(0, rank), refine=self.ortho)
-        self.__left_v = psvd.left_v()
+        self.__left_v, self.__right_v = psvd.left_v(), psvd.right_v()
         self.__left_v.scale(psvd.sigma, multiply=True)
-        self.__right_v = psvd.right_v()
         self.__mean_v = psvd.mean_v()
         self.__rank = self.__left_v.nvec()
         self.__opt = opt
-        self.__tol = tol
-        self.__svtol = svtol
-        self.__norm = norm
-        self.__arch = matrix.arch()
-        self.__dtype = matrix.data_type()
+        self._note_config(matrix, tol, svtol, norm)
         cap = rank if rank > 0 else max_rank
         if cap > 0 and self.__left_v.nvec() > cap:
             # the block sweep may lock a few extra pairs in its last
@@ -90,10 +74,10 @@ class LowerRankApproximation:
             self.__right_v.select(cap)
             self.__rank = cap
         self.iterations = psvd.iterations
-        self.__left = None
-        self.__right = None
-        self.__mean = None
+        self._drop_ndarray_views()
 
+        # hand the user's Options object back unmodified (side-effect-free
+        # restore, reference truncated_svd.py:121-126)
         opt.block_size = user_bs
         if no_cc:
             opt.convergence_criteria = None
@@ -106,16 +90,13 @@ class LowerRankApproximation:
         vstack((matrix0, matrix)) (reference lra.py:158-379)."""
         if self.__rank == 0:
             raise RuntimeError('no existing LRA data to update')
-        if opt is None:
-            opt = self.__opt
-        if tol is None:
-            tol = self.__tol
+        # unset parameters inherit the values of the previous compute/update
+        opt = self.__opt if opt is None else opt
+        tol = self.__tol if tol is None else tol
+        norm = self.__norm if norm is None else norm
+        svtol = self.__svtol if svtol is None else svtol
         if tol == 0.0 and rank < 1:
             rank = self.__rank
-        if norm is None:
-            norm = self.__norm
-        if svtol is None:
-            svtol = self.__svtol
         if norm not in ('f', 'm', 's'):
             raise ValueError('norm %r is not supported' % norm)
         v = matrix.as_vectors()
@@ -145,37 +126,15 @@ class LowerRankApproximation:
         sigma = np.sqrt(np.abs(left0.dots(left0).real))
         sigma0 = sigma[0]
         n0 = left0.dimension()
-        e0 = np.ones((n0, 1), dtype=dtype)
         n1 = v.nvec()
-        e1 = np.ones((n1, 1), dtype=dtype)
         n = n0 + n1
+        e0 = np.ones((n0, 1), dtype=dtype)
+        e1 = np.ones((n1, 1), dtype=dtype)
 
         if shift:
-            # merge means and absorb the mean change into the old factors
-            mean0 = self.__mean_v.data()
-            mean1v = v.new_vectors(1, v.dimension())
-            v.multiply(e1, mean1v)
-            mean1 = mean1v.data() / n1
-            mean = (n0 / n) * mean0 + (n1 / n) * mean1
-            diff = mean0 - mean
-            vdiff = v.new_vectors(diff.astype(dtype))
-            vdiff0 = vdiff.orthogonalize(right0)
-            diff0 = vdiff0.data().T
-            s1 = nla.norm(vdiff.data()) * e0[:1]
-            vdiff.scale(s1)
-            e0v = v.new_vectors(e0.T)
-            left0.add(e0v, 1.0, diff0)
-            if right0.nvec() < right0.dimension():
-                # out-of-span part of the mean change; exactly zero (up to
-                # rounding) when the old basis already spans the space, in
-                # which case appending would overflow the feature dimension
-                e0v.scale(s1, multiply=True)
-                left0.append(e0v)
-                right0.append(vdiff)
-            vmean = v.new_vectors(mean.astype(dtype))
-            v.add(vmean, -1.0, e1.T)
+            vmean = self._fold_mean_change(v, left0, right0, e0, e1,
+                                           n0, n1, dtype)
         else:
-            mean = None
             vmean = None
 
         s = np.abs(v.dots(v).real)
@@ -232,58 +191,96 @@ class LowerRankApproximation:
         # tolerance-driven truncation of trailing components
         if rank < 0:
             ncomp = right0.nvec()
-            if norm == 'f':
-                r = left0.dots(left0).real
-                s2 = math.sqrt(np.sum(r))
-            elif norm == 'm':
-                r = left0.dots(left0, transp=True).real
-                s2 = np.amax(np.sqrt(np.abs(r)))
-            else:
-                s2 = sigma[0]
-            eps = s2 * tol / 4
-            if norm == 'm':
-                errs = np.zeros((1, n))
-            s2 = 0
-            i = 1
-            while i < ncomp:
-                if norm == 'f':
-                    s2 = math.sqrt(s2 * s2 + r[ncomp - i])
-                elif norm == 'm':
-                    left0.select(1, ncomp - i)
-                    lft = left0.data()
-                    errs += (lft * lft.conj()).real
-                    s2 = np.amax(np.sqrt(errs))
-                else:
-                    s2 = sigma[ncomp - i] if ncomp - i < len(sigma) else 0.0
-                if s2 > eps:
-                    break
-                i += 1
-            i -= 1
-            if i > 0:
-                if verb > 0:
-                    print('discarding %d components out of %d' % (i, ncomp))
-                ncomp -= i
+            keep = self._trailing_keep(left0, sigma, norm, tol, ncomp)
+            if verb > 0 and keep < ncomp:
+                print('discarding %d components out of %d'
+                      % (ncomp - keep, ncomp))
+            ncomp = keep
         else:
             ncomp = rank
 
         left0.select(ncomp)
         right0.select(ncomp)
-        self.__left = None
-        self.__right = None
-        self.__mean = None
+        self._drop_ndarray_views()
         if shift:
             self.__mean_v = vmean
         self.__rank = ncomp
-        self.__tol = tol
-        self.__svtol = svtol
-        self.__norm = norm
-        self.__arch = matrix.arch()
-        self.__dtype = matrix.data_type()
-        if max_rank > 0 and ncomp > max_rank:
+        self._note_config(matrix, tol, svtol, norm)
+        if 0 < max_rank < ncomp:
             self.__left_v.select(max_rank)
             self.__right_v.select(max_rank)
             self.__rank = max_rank
         self.iterations += lra_new.iterations
+
+    def _note_config(self, matrix, tol, svtol, norm):
+        self.__tol, self.__svtol, self.__norm = tol, svtol, norm
+        self.__arch = matrix.arch()
+        self.__dtype = matrix.data_type()
+
+    def _drop_ndarray_views(self):
+        """Invalidate cached ndarray copies; accessors re-materialize
+        them from the backend Vectors state on demand."""
+        self.__mean = self.__left = self.__right = None
+
+    def _fold_mean_change(self, v, left0, right0, e0, e1, n0, n1, dtype):
+        """Merge the stored row mean with the mean of the new rows and
+        absorb the resulting change of centre into the old factors
+        (capability of reference lra.py:233-251).
+
+        Writing the old centred data as e0 mean0' + L0 R0 and recentring
+        at the pooled mean, the difference d = mean0 - mean splits into
+        its in-span coefficients (folded into L0 as a rank-one update
+        along e0) and an out-of-span direction (appended as one extra
+        component when the feature dimension still has room).  The new
+        rows in ``v`` are centred at the pooled mean in place.  Returns
+        the pooled-mean Vectors object."""
+        n = n0 + n1
+        colsum = v.new_vectors(1, v.dimension())
+        v.multiply(e1, colsum)
+        pooled = (n0 / n) * self.__mean_v.data() \
+            + (1.0 / n) * colsum.data()
+        d = v.new_vectors((self.__mean_v.data() - pooled).astype(dtype))
+        in_span = d.orthogonalize(right0)          # d -= (coeffs) R0
+        e0v = v.new_vectors(e0.T)
+        left0.add(e0v, 1.0, in_span.data().T)
+        leftover = nla.norm(d.data()) * e0[:1]
+        d.scale(leftover)                          # unit out-of-span dir
+        if right0.nvec() < right0.dimension():
+            # when the old basis already spans the feature space the
+            # leftover is pure rounding and appending would overflow
+            e0v.scale(leftover, multiply=True)
+            left0.append(e0v)
+            right0.append(d)
+        vmean = v.new_vectors(pooled.astype(dtype))
+        v.add(vmean, -1.0, e1.T)
+        return vmean
+
+    @staticmethod
+    def _trailing_keep(left0, sigma, norm, tol, ncomp):
+        """Number of leading components to keep: the longest trailing run
+        whose cumulative truncation error (in the requested norm) stays
+        within a quarter of tol times the norm's scale.  Vectorized
+        equivalent of the reference's component-at-a-time scan
+        (lra.py:314-359): reverse-cumulative error profiles replace the
+        incremental loop."""
+        if norm == 'f':
+            comp_sq = left0.dots(left0).real          # per-component ||l||^2
+            scale = math.sqrt(max(np.sum(comp_sq), 0.0))
+            profile = np.sqrt(np.cumsum(comp_sq[::-1]))[:ncomp - 1]
+        elif norm == 'm':
+            row_sq = left0.dots(left0, transp=True).real
+            scale = math.sqrt(max(np.amax(np.abs(row_sq)), 0.0))
+            ldata = left0.data()
+            rev_rows = np.cumsum((ldata * ldata.conj()).real[::-1], axis=0)
+            profile = np.sqrt(np.amax(rev_rows, axis=1))[:ncomp - 1]
+        else:
+            scale = sigma[0]
+            tail = np.arange(ncomp - 1, 0, -1)
+            profile = np.where(tail < len(sigma),
+                               sigma[np.minimum(tail, len(sigma) - 1)], 0.0)
+        over = np.nonzero(profile > scale * tol / 4)[0]
+        drop = int(over[0]) if over.size else ncomp - 1
+        return ncomp - drop
 
     def _reorthogonalize(self, left0, right0, full=False):
         """Restore the LRA invariant (R rows orthonormal, L columns
@@ -311,47 +308,45 @@ class LowerRankApproximation:
                  arch='cpu', verb=0):
         """Streaming LRA: compute on the first batch of rows, update on each
         subsequent batch (reference lra.py:381-422)."""
-        if opt is None:
-            opt = Options()
-        data_size = matrix.shape[0]
-        batch_size = min(batch_size, data_size)
-        batch = 0
+        opt = opt if opt is not None else Options()
+        total = matrix.shape[0]
+        step = min(batch_size, total)
+        start = 0
         if self.__rank == 0:
+            # cold start: the first batch seeds the approximation
             if verb > 0:
-                print('processing batch %d of size %d' % (batch, batch_size))
-            mb = AMatrix(matrix[:batch_size, :], arch=arch)
-            self.compute(mb, opt=opt, rank=rank, tol=tol, norm=norm,
-                         max_rank=max_rank, svtol=svtol, shift=shift,
-                         verb=verb)
-            first = batch_size
-            batch += 1
-        else:
-            first = 0
-        while first < data_size:
-            nxt = min(data_size, first + batch_size)
+                print('processing batch 0 of size %d' % step)
+            self.compute(AMatrix(matrix[:step, :], arch=arch), opt=opt,
+                         rank=rank, tol=tol, norm=norm, max_rank=max_rank,
+                         svtol=svtol, shift=shift, verb=verb)
+            start = step
+        for k, lo in enumerate(range(start, total, step), 1):
+            hi = min(total, lo + step)
             if verb > 0:
-                print('processing batch %d of size %d' % (batch, nxt - first))
-            mb = AMatrix(matrix[first:nxt, :], arch=arch, copy_data=True)
-            self.update(mb, opt=opt, rank=rank, tol=tol, norm=norm,
+                print('processing batch %d of size %d' % (k, hi - lo))
+            self.update(AMatrix(matrix[lo:hi, :], arch=arch,
+                                copy_data=True),
+                        opt=opt, rank=rank, tol=tol, norm=norm,
                         max_rank=max_rank, svtol=svtol, verb=verb)
-            first = nxt
-            batch += 1
 
     # -- result accessors --------------------------------------------------
 
     def mean(self):
-        if self.__mean is None and self.__mean_v is not None:
-            self.__mean = self.__mean_v.data()
+        if self.__mean is None:
+            self.__mean = None if self.__mean_v is None \
+                else self.__mean_v.data()
         return self.__mean
 
     def left(self):
-        if self.__left is None and self.__left_v is not None:
-            self.__left = self.__left_v.data().T
+        if self.__left is None:
+            self.__left = None if self.__left_v is None \
+                else self.__left_v.data().T
         return self.__left
 
     def right(self):
-        if self.__right is None and self.__right_v is not None:
-            self.__right = self.__right_v.data()
+        if self.__right is None:
+            self.__right = None if self.__right_v is None \
+                else self.__right_v.data()
         return self.__right
 
     def mean_v(self):
@@ -375,21 +370,23 @@ class _DefaultLRAConvergenceCriteria:
         self.tolerance = tolerance
 
     def satisfied(self, solver, i):
-        res = solver.convergence_data('residual', i)
-        lmd = solver.convergence_data('eigenvalue', i)
-        lmd_max = solver.convergence_data('max eigenvalue', i)
-        tol = abs(lmd / lmd_max) ** 1.5 * self.tolerance
-        return res >= 0 and res * res <= tol
+        res, lmd, lmd_max = (solver.convergence_data(q, i) for q in
+                             ('residual', 'eigenvalue', 'max eigenvalue'))
+        return res >= 0 and \
+            res * res <= abs(lmd / lmd_max) ** 1.5 * self.tolerance
 
 
-def _lra_ortho(v, u, wv, wu):
-    """Two-sided SVD re-orthogonalization of the pair (L=v, R=u)
-    (reference lra.py:473-482)."""
-    u.copy(wu)
-    s, q = wu.svd()
-    v.multiply(q, wv)
-    wv.scale(s, multiply=True)
-    wv.copy(v)
-    s, q = v.svd()
-    wu.multiply(q, u)
-    v.scale(s, multiply=True)
+def _lra_ortho(left, right, wl, wr):
+    """Two-sided SVD re-orthogonalization of the factor pair (capability
+    of reference lra.py:473-482): first pass orthonormalizes the right
+    factor in scratch and rotates/rescales the left factor to match;
+    second pass SVDs the rebuilt left factor and pushes its rotation back
+    onto the right."""
+    right.copy(wr)
+    sr, rot_r = wr.svd()
+    left.multiply(rot_r, wl)
+    wl.scale(sr, multiply=True)
+    wl.copy(left)
+    sl, rot_l = left.svd()
+    wr.multiply(rot_l, right)
+    left.scale(sl, multiply=True)

@@ -72,19 +72,25 @@ def truncated_svd(A, opt=None, nsv=-1, tol=0, norm='s', msv=-1, vtol=0,
 
 
 class TruncatedSVDErrorCalculator:
-    """Tracks per-row norms of the residual D = A - U S V' incrementally:
-    each new converged component subtracts its per-row projection via
-    Pythagoras (reference truncated_svd.py:131-202)."""
+    """Per-row truncation-error tracker for the residual D = A - U S V'.
+
+    Invariant maintained: ``err[i]**2 = ||row_i(A[-mean])||**2 - (row
+    energy of the converged components)``; converged singular components
+    project every row onto mutually orthogonal directions, so each new
+    batch lowers the squared row norms by the per-row energy of its
+    image block (Pythagoras).  Capability of reference
+    truncated_svd.py:131-202, reorganized around squared-norm state and
+    a single per-batch row-energy helper.
+    """
 
     def __init__(self, a):
-        m, n = a.shape()
+        self.m, self.n = a.shape()
         self.dt = a.data_type()
-        s = a.dots()
-        self.norms = np.sqrt(s.reshape((m, 1)).real)
-        self.err = self.norms.copy()
+        row_sq = np.maximum(a.dots().real.reshape(self.m, 1), 0.0)
+        self.norms = np.sqrt(row_sq)
+        self._err2 = row_sq.copy()
+        self.err = np.sqrt(self._err2)
         self.op = None
-        self.m = m
-        self.n = n
         self.shift = False
         self.ncon = 0
         self.aves = None
@@ -96,52 +102,59 @@ class TruncatedSVDErrorCalculator:
         if shift:
             self.ones = op.ones
             self.aves = op.aves
-            s = self.aves.dots(self.aves)
-            vb = eigenvectors.new_vectors(1, self.m)
-            self.op.apply(self.aves, vb)
-            b = vb.data().reshape((self.m, 1)).real
-            t = (self.norms * self.norms).reshape((self.m, 1))
-            x = t - 2 * b + s.real * np.ones((self.m, 1))
-            self.err = np.sqrt(abs(x))
+            # mean-centred rows: ||a_i - c||^2 expands to
+            # ||a_i||^2 - 2 Re(a_i . c) + ||c||^2 with c the column means
+            img = eigenvectors.new_vectors(1, self.m)
+            self.op.apply(self.aves, img)
+            dot_rows_mean = img.data().reshape(self.m, 1).real
+            mean_sq = self.aves.dots(self.aves).real
+            self._err2 = np.abs(self.norms ** 2 - 2 * dot_rows_mean
+                                + mean_sq)
+            self.err = np.sqrt(self._err2)
         self.err_init = np.amax(self.err)
         self.err_init_f = nla.norm(self.err)
 
     def update_errors(self):
-        ncon = self.eigenvectors.nvec()
-        new = ncon - self.ncon
-        if new > 0:
-            err = self.err * self.err
-            x = self.eigenvectors
-            sel = x.selected()
-            x.select(new, self.ncon)
-            m, n = self.m, self.n
-            if m < n:
-                z = x.new_vectors(new, n)
-                self.op.apply(x, z, transp=True)
-                if self.shift:
-                    s = x.dot(self.ones)
-                    z.add(self.aves, -1, s)
-                y = x.new_vectors(new, m)
-                self.op.apply(z, y)
-                if self.shift:
-                    s = z.dot(self.aves)
-                    y.add(self.ones, -1, s)
-                q = x.dots(y, transp=True).real
-                q[q < 0] = 0
-            else:
-                y = x.new_vectors(new, m)
-                self.op.apply(x, y)
-                if self.shift:
-                    for _ in range(2):
-                        s = y.dot(self.ones)
-                        y.add(self.ones, -1.0 / m, s)
-                q = y.dots(y, transp=True).real
-            err -= q.reshape((m, 1))
-            err[err < 0] = 0
-            self.err = np.sqrt(err)
-            x.select(sel[1], sel[0])
-            self.ncon = ncon
+        """Absorb components converged since the last call; return the
+        refreshed per-row error norms."""
+        x = self.eigenvectors
+        batch = x.nvec() - self.ncon
+        if batch > 0:
+            window = x.selected()
+            x.select(batch, self.ncon)
+            gain = self._batch_row_energy(x, batch)
+            x.select(window[1], window[0])
+            self._err2 = np.maximum(
+                self._err2 - gain.reshape(self.m, 1), 0.0)
+            self.err = np.sqrt(self._err2)
+            self.ncon += batch
         return self.err
+
+    def _batch_row_energy(self, x, batch):
+        """Per-row energy (length-m vector) captured by the ``batch``
+        converged vectors currently selected in ``x``."""
+        if self.m < self.n:
+            # the iterated side is the row side: x holds left singular
+            # vectors; push through A' and back, contract per row
+            z = x.new_vectors(batch, self.n)
+            self.op.apply(x, z, transp=True)
+            if self.shift:
+                z.add(self.aves, -1, x.dot(self.ones))
+            y = x.new_vectors(batch, self.m)
+            self.op.apply(z, y)
+            if self.shift:
+                y.add(self.ones, -1, z.dot(self.aves))
+            return np.maximum(x.dots(y, transp=True).real, 0.0)
+        # x holds right singular vectors: the image block A x is exactly
+        # sigma_j u_j, whose per-row energy is the captured projection
+        y = x.new_vectors(batch, self.m)
+        self.op.apply(x, y)
+        if self.shift:
+            # two centring passes: the second scrubs rounding leakage,
+            # which otherwise biases the energies of late components
+            for _ in range(2):
+                y.add(self.ones, -1.0 / self.m, y.dot(self.ones))
+        return y.dots(y, transp=True).real
 
 
 class DefaultStoppingCriteria:
@@ -168,56 +181,55 @@ class DefaultStoppingCriteria:
         self.f = 0
 
     def satisfied(self, solver):
-        self.norms = self.err_calc.norms
-        scale_max = self.err_calc.err_init
-        scale_f = self.err_calc.err_init_f
-        if solver.rcon <= self.ncon:
+        fresh = solver.rcon - self.ncon
+        if fresh < 1:
             return False
-        new = solver.rcon - self.ncon
-        lmd = solver.eigenvalues[self.ncon:solver.rcon]
-        sigma = -np.sort(-np.sqrt(abs(lmd)))
+        sigma = np.sort(np.sqrt(np.abs(
+            solver.eigenvalues[self.ncon:solver.rcon])))[::-1]
         if self.ncon == 0:
+            # first batch fixes the scale and the full squared Frobenius
+            # mass still to be captured
             self.sigma = sigma[0]
             self.err = self.err_calc.err
-            self.f = np.sum(self.err * self.err)
-        i = new - 1
-        si = sigma[i]
-        si_rel = si / self.sigma
-        if self.norm == 'm':
+            self.f = float(np.sum(self.err_calc.err ** 2))
+        smallest = sigma[fresh - 1]
+        smallest_rel = smallest / self.sigma
+
+        # truncation error in the requested norm, absolute and relative
+        if self.norm == 'f':
+            self.f -= float(np.sum(sigma ** 2))
+            err_abs = math.sqrt(max(0.0, self.f))
+            err_rel = err_abs / self.err_calc.err_init_f
+        elif self.norm == 'm':
             self.err = self.err_calc.update_errors()
-            err_abs = np.amax(self.err)
-            err_rel = err_abs / scale_max
-        elif self.norm == 'f':
-            self.f -= np.sum(sigma * sigma)
-            err_abs = math.sqrt(max(0, self.f))
-            err_rel = err_abs / scale_f
+            err_abs = float(np.amax(self.err))
+            err_rel = err_abs / self.err_calc.err_init
         else:
-            err_abs = si
-            err_rel = si_rel
+            err_abs, err_rel = smallest, smallest_rel
+
         self.elapsed_time += time.time() - self.start_time
+        head = '%.2f sec: sigma[%d]' % (self.elapsed_time, solver.rcon - 1)
         if self.norm in ('f', 'm'):
-            msg = ('%.2f sec: sigma[%d] = %.2e*sigma[0], truncation error ='
-                   ' %.2e' % (self.elapsed_time, self.ncon + i, si_rel,
-                              err_rel))
+            msg = '%s = %.2e*sigma[0], truncation error = %.2e' \
+                % (head, smallest_rel, err_rel)
         else:
-            msg = ('%.2f sec: sigma[%d] = %e = %.2e*sigma[0]'
-                   % (self.elapsed_time, self.ncon + i, si, si_rel))
+            msg = '%s = %e = %.2e*sigma[0]' % (head, smallest, smallest_rel)
+
         self.ncon = solver.rcon
-        done = False
-        if self.err_tol != 0:
-            if self.verb > 0:
-                print(msg)
-            if self.err_tol > 0:
-                done = err_rel <= self.err_tol
-            else:
-                done = err_abs <= abs(self.err_tol)
-        elif self.max_nsv < 1:
-            done = (input(msg + ', more? ') == 'n')
-        elif self.verb > 0:
-            print(msg)
         self.iteration = solver.iteration
+        interactive = self.err_tol == 0 and self.max_nsv < 1
+        if self.verb > 0 and not interactive:
+            print(msg)
+        if interactive:
+            done = input(msg + ', more? ') == 'n'
+        elif self.err_tol > 0:
+            done = err_rel <= self.err_tol
+        elif self.err_tol < 0:
+            done = err_abs <= -self.err_tol
+        else:
+            done = False
         self.start_time = time.time()
-        return done or (self.max_nsv > 0 and self.ncon >= self.max_nsv)
+        return done or 0 < self.max_nsv <= self.ncon
 
 
 class DefaultProbe:
@@ -283,37 +295,35 @@ class UserStoppingCriteria:
         self.ncon = 0
 
     def satisfied(self, solver):
-        new = solver.rcon - self.ncon
-        if new < 1:
+        batch = solver.rcon - self.ncon
+        if batch < 1:
             return False
-        eigenvectors = solver.eigenvectors.reference()
-        eigenvectors.select(new, self.ncon)
-        if self.transpose:
-            v = self.left.new_vectors(new)
-            u = self.right.new_vectors(new)
-        else:
-            v = self.right.new_vectors(new)
-            u = self.left.new_vectors(new)
-        v.fill(eigenvectors.data())
-        self.matrix.apply(v, u, transp=self.transpose)
+        conv = solver.eigenvectors.reference()
+        conv.select(batch, self.ncon)
+        # the solver iterates the short side of A; one application of A
+        # (or A') recovers the long-side images sigma_j * u_j
+        short, long_ = ((self.left, self.right) if self.transpose
+                        else (self.right, self.left))
+        v = short.new_vectors(batch)
+        v.fill(conv.data())
+        img = long_.new_vectors(batch)
+        self.matrix.apply(v, img, transp=self.transpose)
         if self.shift:
-            if not self.transpose:
-                s = v.dot(self.__mean)
-                u.add(self.__ones, -1, s)
+            # remove the column-mean component from the images
+            if self.transpose:
+                img.add(self.__mean, -1, v.dot(self.__ones))
             else:
-                s = v.dot(self.__ones)
-                u.add(self.__mean, -1, s)
-        sigma, q = u.svd()
-        w = v.new_vectors(new)
-        v.multiply(q, w)
+                img.add(self.__ones, -1, v.dot(self.__mean))
+        # in-place SVD of the image block: img becomes the orthonormal
+        # long-side factor; the rotation realigns the short-side vectors
+        # with the singular directions
+        sigma, rot = img.svd()
+        aligned = v.new_vectors(batch)
+        v.multiply(rot, aligned)
         self.sigma = np.concatenate((self.sigma, sigma))
-        if self.transpose:
-            self.left.append(w)
-            self.right.append(u)
-        else:
-            self.left.append(u)
-            self.right.append(w)
-        self.ncon += new
+        short.append(aligned)
+        long_.append(img)
+        self.ncon += batch
         return self.probe.inspect(self.mean, self.sigma,
                                   self.left.data().T, self.right.data().T)
 
