@@ -140,59 +140,99 @@ def _verify_pca(a, factors):
 def _extra_sparse_evp():
     """Sparse flagship: lap3d 50^3 (n=125k), 10 smallest eigenvalues via
     shift-invert (native LDL^T factorization + block Jacobi-CG), wall
-    clock.  Reference-class workload per BASELINE.md sparse table."""
+    clock.  Reference-class workload per BASELINE.md sparse table.
+
+    The shared 2-core host shows up to 3-4x run-to-run spread under
+    external load (STATUS.md measurement caveat), so the recorded number
+    is the minimum of up to three runs — the low-noise estimate of what
+    the code actually costs — capped by a cumulative time budget."""
     import numpy as np
     from raleigh_tpu.examples.laplace import lap3d, lap3d_eigenvalues
     from raleigh_tpu.interfaces.partial_hevp import partial_hevp
 
     a = lap3d(50, 50, 50, 1.0, 1.0, 1.0)
-    t0 = time.time()
-    vals, _, status = partial_hevp(a, sigma=0.0, which=10, verb=-1)
-    dt = time.time() - t0
-    if status != 0:
-        raise RuntimeError('partial_hevp status %d' % status)
     exact = np.sort(lap3d_eigenvalues(50, 50, 50, 1.0, 1.0, 1.0))[:10]
-    err = np.max(np.abs(np.sort(vals) - exact) / exact)
-    if err > 1e-6:
-        raise RuntimeError('lap3d eigenvalue error %.2e' % err)
-    return round(dt, 3)
+    best = None
+    spent = 0.0
+    for run in range(3):
+        t0 = time.time()
+        vals, _, status = partial_hevp(a, sigma=0.0, which=10, verb=-1)
+        dt = time.time() - t0
+        spent += dt
+        if status != 0:
+            raise RuntimeError('partial_hevp status %d' % status)
+        err = np.max(np.abs(np.sort(vals) - exact) / exact)
+        if err > 1e-6:
+            raise RuntimeError('lap3d eigenvalue error %.2e' % err)
+        best = dt if best is None else min(best, dt)
+        print('sparse evp run %d: %.2f s (best %.2f)' % (run, dt, best),
+              file=sys.stderr, flush=True)
+        if spent > 150.0:
+            break
+    return round(best, 3)
+
+
+def _time_chain_marginal(make_chain, x, reps_lo=100, reps_hi=400):
+    """Sustained per-apply time of a chained device op, measured as the
+    MARGINAL cost between two chain lengths.
+
+    The tunneled device adds ~25-30 ms of dispatch+fetch round-trip to
+    every timed call; dividing one chain's wall time by its rep count
+    therefore understates throughput badly at small sizes (this is what
+    produced the round-2 '104 GB/s' artifact).  Timing two chain lengths
+    and differencing cancels the fixed cost exactly."""
+    import jax
+    import numpy as np
+
+    def run(reps):
+        c = make_chain(reps)
+        np.asarray(c(x).ravel()[:4])       # compile + warm (forced fetch)
+        t0 = time.time()
+        np.asarray(c(x).ravel()[:4])
+        return time.time() - t0
+
+    t_lo, t_hi = run(reps_lo), run(reps_hi)
+    return max(t_hi - t_lo, 1e-9) / (reps_hi - reps_lo)
 
 
 def _extra_dia_spmm():
-    """DIA stencil SpMM streamed throughput on the device (lap3d 48^3,
-    block width 32).  Returns (Gnnz/s, effective GB/s: per nonzero the
-    kernel streams a 4-byte value + its share of operand/result rows).
+    """DIA stencil SpMM sustained throughput on the device (lap3d 48^3,
+    block width 32).  Returns (Gnnz/s, effective GB/s: per apply the
+    kernel streams the diagonal values plus one operand and one result
+    block).  At this size the ~17 MB working set is VMEM/cache-resident
+    between chained applies, so this measures the solver-visible
+    sustained rate; see dia_spmm_hbm_* for the HBM-resident regime.
 
-    The reps are chained inside ONE jitted fori_loop so the measurement is
-    sustained kernel throughput, not dispatch latency over the (possibly
-    tunneled) device link.  Each step rescales by 1/8 to keep the chained
-    iterate finite (lap3d spectral radius < 12)."""
+    Methodology: reps chained inside ONE jitted fori_loop (sustained
+    kernel throughput, not dispatch latency), marginal-differenced over
+    two chain lengths to cancel the tunnel round-trip (see
+    _time_chain_marginal).  Each step rescales by 1/8 to keep the
+    chained iterate finite (lap3d spectral radius < 12)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from functools import partial
     from jax import lax
     from raleigh_tpu.examples.laplace import lap3d
     from raleigh_tpu.ops.spmm import DiaMatrix
 
     m = 32
-    reps = 100
     a = lap3d(48, 48, 48, 1.0, 1.0, 1.0)
     d = DiaMatrix(a)
     n = d.shape[0]
     np.random.seed(1)
     xt = jnp.asarray(np.random.randn(n, m).astype(np.float32))
 
-    @jax.jit
-    def chain(x):
-        return lax.fori_loop(
-            0, reps, lambda i, y: d.matmat_t(y) * np.float32(0.125), x)
+    def make_chain(reps):
+        @jax.jit
+        def chain(x):
+            return lax.fori_loop(
+                0, reps, lambda i, y: d.matmat_t(y) * np.float32(0.125), x)
+        return chain
 
-    jax.block_until_ready(chain(xt))       # compile + warm
-    t0 = time.time()
-    jax.block_until_ready(chain(xt))
-    dt = (time.time() - t0) / reps
+    dt = _time_chain_marginal(make_chain, xt)
     gnnz = d.nnz / dt / 1e9
-    # bytes moved: 7 diagonals * n * 4 (values) + n*m*4 in + n*m*4 out
+    # bytes touched per apply: diagonal values + operand in + result out
     gbps = (len(d.offsets) * n * 4 + 2 * n * m * 4) / dt / 1e9
     return round(gnnz, 3), round(gbps, 1)
 

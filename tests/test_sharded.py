@@ -82,7 +82,109 @@ def test_halo_exchange_spmm():
     mesh = make_mesh(8)
     sm = ShardedEllMatrix(a, mesh)
     assert sm.chunk == n // 8
-    assert 1 <= sm.halo <= sm.chunk
+    assert sm.mode == 'halo'
+    assert 1 <= max(sm.halo) <= sm.chunk
     got = np.asarray(sm.matmat_t(x))
     want = a @ x
     assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+
+
+def test_halo_exchange_multihop():
+    """A band wider than one chunk per shard: the halo spans multiple
+    neighbor chunks (the case that used to raise 'bandwidth exceeds one
+    chunk')."""
+    import scipy.sparse as scs
+    from raleigh_tpu.parallel.mesh import make_mesh
+    from raleigh_tpu.parallel.spmm_sharded import ShardedEllMatrix
+
+    from raleigh_tpu.examples.laplace import lap3d
+    # lap3d 5^3: n=125 -> chunk 16, RCM bandwidth 49 spans 4 chunks
+    a = lap3d(5, 5, 5, 1.0, 1.0, 1.0)
+    n = a.shape[0]
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((n, 4)).astype(np.float32)
+    mesh = make_mesh(8)
+    sm = ShardedEllMatrix(a, mesh)
+    assert sm.mode == 'halo'
+    assert max(sm.halo) > sm.chunk         # genuinely multi-hop
+    got = np.asarray(sm.matmat_t(x))
+    want = a @ x
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+
+
+def test_sharded_spmm_gather_fallback():
+    """A scattered pattern whose RCM band still spans the whole ring
+    falls back to the all-gather regime instead of raising."""
+    import scipy.sparse as scs
+    from raleigh_tpu.parallel.mesh import make_mesh
+    from raleigh_tpu.parallel.spmm_sharded import ShardedEllMatrix
+
+    rng = np.random.default_rng(7)
+    n = 400
+    a = scs.random(n, n, density=0.02, random_state=3, format='csr')
+    a = a + a.T + scs.eye(n)
+    x = rng.standard_normal((n, 4)).astype(np.float32)
+    mesh = make_mesh(8)
+    sm = ShardedEllMatrix(a, mesh)
+    assert sm.mode == 'gather'
+    got = np.asarray(sm.matmat_t(x))
+    want = a @ x
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-4
+    # forcing halo mode on this pattern is a clear error
+    import pytest
+    with pytest.raises(ValueError):
+        ShardedEllMatrix(a, mesh, mode='halo')
+
+
+def test_solver_on_2d_mesh():
+    """Full solver over a 2-D (hosts x chips) mesh — the multi-host
+    topology of SURVEY §5.8: the vector dimension shards over both axes
+    and the Gram psums reduce over the whole grid."""
+    from raleigh_tpu.parallel.mesh import make_mesh2d, blockvec_sharding
+    from raleigh_tpu.algebra import dense_jax
+    from raleigh_tpu.core.solver import (Options, Problem, Solver,
+                                         DefaultConvergenceCriteria)
+
+    n = 96
+    mesh = make_mesh2d(2, 4)                  # virtual 2 hosts x 4 chips
+    assert mesh.devices.shape == (2, 4)
+    sh = blockvec_sharding(mesh)
+    a = np.arange(1, n + 1).astype(np.float64)
+    A = dense_jax.Matrix(np.diag(a), sharding=sh)
+    np.random.seed(1)
+    v = dense_jax.Vectors(n, data_type=np.float64, sharding=sh)
+    opt = Options()
+    opt.convergence_criteria = DefaultConvergenceCriteria()
+    opt.convergence_criteria.set_error_tolerance('eigenvector error', 1e-8)
+    opt.verbosity = -1
+    solver = Solver(Problem(v, A))
+    status = solver.solve(v, opt, which=(4, 0))
+    assert status == 0
+    assert np.allclose(np.sort(solver.eigenvalues)[:4], [1, 2, 3, 4],
+                       atol=1e-6)
+
+
+def test_sharded_preconditioned_lobpcg():
+    """End-to-end sharded preconditioned eigensolve: DIA operator and
+    fused Chebyshev preconditioner partitioned over the 8-device mesh by
+    GSPMD, iteration blocks sharded along the vector dimension."""
+    from raleigh_tpu.parallel.mesh import make_mesh
+    from raleigh_tpu.core.device_solver import lobpcg, shard_operator
+    from raleigh_tpu.ops.spmm import device_sparse
+    from raleigh_tpu.algebra.sparse import Chebyshev, spectral_bounds
+    from raleigh_tpu.examples.laplace import lap3d, lap3d_eigenvalues
+
+    a = lap3d(12, 12, 12, 1.0, 1.0, 1.0)
+    exact = np.sort(lap3d_eigenvalues(12, 12, 12, 1.0, 1.0, 1.0))
+    lo, hi = spectral_bounds(a)
+    mesh = make_mesh(8)
+    from raleigh_tpu.parallel.mesh import AXIS
+    dm = shard_operator(device_sparse(a, dtype=np.float64), mesh,
+                        axis=AXIS)
+    ch = Chebyshev(a, hi * 1e-4, hi, degree=10, arch='tpu')
+    lam, x, r, it, st = lobpcg(
+        dm, 5, precond=ch._device_fused(), tol=1e-8, maxit=300,
+        dtype=np.float64,
+        sharding=NamedSharding(make_mesh(8), P(AXIS, None)))
+    assert st == 0
+    assert np.abs(lam - exact[:5]).max() / exact[4] < 1e-6
