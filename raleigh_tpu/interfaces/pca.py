@@ -26,7 +26,7 @@ from .lra import LowerRankApproximation
 
 
 def pca(A, npc=-1, tol=0, have=None, batch_size=None, verb=0, arch='cpu',
-        norm='f', mpc=-1, svtol=1e-3, opt=None, method='jacobi'):
+        norm='f', mpc=-1, svtol=1e-3, opt=None, method='auto'):
     """PCA of the dataset whose samples are the rows of A.
 
     Computes mean (1, n), trans=L (m, k) and comps=R (k, n) with
@@ -35,17 +35,41 @@ def pca(A, npc=-1, tol=0, have=None, batch_size=None, verb=0, arch='cpu',
     ``tol`` (in norm 's'/'f'/'m') or interactive stopping decides; ``have``
     warm-starts from a previous (mean, L, R); ``batch_size`` streams.
     See reference pca.py:16-133 for the full contract.
+
+    ``method``: 'jacobi' is the reference-parity block Jacobi-CG engine
+    (per-vector convergence control, host-orchestrated); 'subspace' is
+    the device-resident subspace-iteration engine (one jitted program per
+    stage, near-optimal truncation error — the fast path on remote/TPU
+    devices, covering fixed-npc, tolerance-driven, warm-start and
+    streaming modes); 'auto' (default) picks 'subspace' on ``arch='tpu'``
+    for every non-interactive mode and 'jacobi' otherwise.
     """
     if opt is None:
         opt = Options()
+    if method == 'auto':
+        interactive = npc < 1 and tol == 0
+        method = 'subspace' if (arch.startswith('tpu')
+                                and not interactive) else 'jacobi'
     if method == 'subspace':
-        # device-resident one-round-trip engine (TPU-native fast path);
-        # requires a fixed component count and no warm start
-        if npc <= 0 or have is not None or batch_size is not None:
-            raise ValueError("method='subspace' needs npc > 0 and no "
-                             "have/batch_size")
-        from .randomized import subspace_pca
-        return subspace_pca(A, npc)
+        from . import randomized as rz
+
+        if npc < 1 and tol == 0:
+            raise ValueError("method='subspace' is non-interactive: give "
+                             'npc or tol')
+        if batch_size is not None:
+            if have is not None:
+                raise ValueError('have= and batch_size= are exclusive')
+            return rz.subspace_pca_stream(A, batch_size, npc=npc, tol=tol,
+                                          norm=norm, max_npc=mpc,
+                                          verb=verb)
+        if have is not None:
+            return rz.subspace_pca_update(have, A, npc=npc, tol=tol,
+                                          norm=norm, max_npc=mpc,
+                                          verb=verb)
+        if npc > 0:
+            return rz.subspace_pca(A, npc)
+        return rz.subspace_pca_tol(A, tol, norm=norm, max_npc=mpc,
+                                   verb=verb)
     lra = LowerRankApproximation(have)
     if batch_size is None:
         if have is None:

@@ -25,6 +25,65 @@ def test_subspace_pca_matches_optimal_truncation():
     assert np.abs(g - np.eye(80)).max() < 5e-3
 
 
+def test_subspace_pca_tol_adaptive_rank():
+    """Tolerance-driven device PCA: the subspace grows until the relative
+    Frobenius truncation error meets tol, and the returned rank is the
+    smallest satisfying one (reference doctest accuracy,
+    pca.py:106-110)."""
+    np.random.seed(1)
+    A, *_ = generate(1200, 800, 400, pca=True)
+    mean, trans, comps = pca(A, tol=0.05, method='subspace')
+    em, ef = pca_error(A, mean, trans, comps)
+    assert ef <= 0.05
+    k = comps.shape[0]
+    # near-minimal: the optimal rank for this tol is close below
+    mu = A.mean(axis=0)
+    s = np.linalg.svd(A - mu, compute_uv=False)
+    tail = np.sqrt(np.maximum(np.sum(s ** 2) - np.cumsum(s ** 2), 0.0))
+    k_opt = int(np.searchsorted(-tail, -0.05 * np.linalg.norm(A - mu)))
+    assert k <= max(2 * k_opt, k_opt + 16)
+    # spectral-norm tolerance mode
+    mean, trans, comps = pca(A, tol=0.2, norm='s', method='subspace')
+    em, ef = pca_error(A, mean, trans, comps)
+    sk = np.linalg.norm(trans[:, -1])
+    assert sk <= 0.21 * s[0]
+
+
+def test_subspace_pca_update_and_stream():
+    """Device warm-start update and streaming: reference pca(have=) and
+    pca(batch_size=) capabilities on the subspace engine, at the
+    reference doctest error magnitudes (pca.py:111-133)."""
+    np.random.seed(1)
+    A, *_ = generate(3000, 2000, 1000, pca=True)
+    A = A.astype(np.float32)
+
+    first = pca(A[:2000], tol=0.05, method='subspace')
+    mean, trans, comps = pca(A[2000:], have=first, tol=0.05,
+                             method='subspace')
+    assert trans.shape[0] == 3000
+    em, ef = pca_error(A, mean, trans, comps)
+    assert ef < 0.06 and em < 0.06
+
+    mean, trans, comps = pca(A, tol=0.05, batch_size=1000,
+                             method='subspace')
+    assert trans.shape[0] == 3000
+    em, ef = pca_error(A, mean, trans, comps)
+    assert ef < 0.06 and em < 0.06
+
+
+def test_pca_auto_routes_tpu_to_subspace():
+    """arch='tpu' with a non-interactive mode takes the device engine by
+    default (method='auto')."""
+    np.random.seed(1)
+    A, *_ = generate(600, 400, 200, pca=True)
+    mean, trans, comps = pca(A, npc=40, arch='tpu')
+    em, ef = pca_error(A, mean, trans, comps)
+    mu = A.mean(axis=0)
+    s = np.linalg.svd(A - mu, compute_uv=False)
+    ef_opt = np.sqrt(np.sum(s[40:] ** 2) / np.sum(s ** 2))
+    assert ef <= ef_opt * 1.02
+
+
 def test_randomized_svd_sigma():
     np.random.seed(1)
     A, s0, u0, v0 = generate(1000, 700, 300)
