@@ -17,6 +17,58 @@ def test_core_solver_doctest_pin():
     assert results.failed == 0
 
 
+def test_eigenimages_interactive_probe(monkeypatch, tmp_path):
+    """The eigenimages ImageProbe drives an interactive run: help, image
+    inspection, tolerance handover and quit, via monkeypatched stdin
+    (reference icompute_eigenimages.py:63-186 Probe workflow)."""
+    import os
+    from raleigh_tpu.examples.eigenimages import ImageProbe
+    from raleigh_tpu.interfaces.truncated_svd import UserStoppingCriteria
+    from raleigh_tpu.interfaces.pca import pca
+    from raleigh_tpu.core.solver import Options
+    from raleigh_tpu.examples.generate_matrix import generate
+
+    np.random.seed(1)
+    data, *_ = generate(300, 200, 100, pca=True)
+    images = data.reshape(300, 20, 10)    # image-shaped samples
+
+    answers = iter(['h', 's 0 3', '', 't 0.25', 'q'])
+    monkeypatch.setattr('builtins.input', lambda msg: next(answers, 'q'))
+    monkeypatch.chdir(tmp_path)           # probe saves pairs headlessly
+
+    probe = ImageProbe(images)
+    opt = Options()
+    opt.block_size = 16
+    opt.stopping_criteria = UserStoppingCriteria(
+        data, shift=True, probe=probe)
+    mean, trans, comps = pca(data, opt=opt, method='jacobi')
+    assert comps.shape[0] >= 16
+    # 't 0.25' kept it running until the error fell below 0.25
+    assert probe.errors[-1][1] < 0.25
+    # the 's 0 3' command rendered (headless: persisted) two image pairs
+    assert os.path.exists('probe_image_0.npy')
+    assert os.path.exists('probe_approx_3.npy')
+
+
+def test_eigenimages_show_errors(tmp_path, capsys):
+    """show_errors reports per-image PCA error statistics from the saved
+    npz (reference examples/eigenimages/show_errors.py capability)."""
+    from raleigh_tpu.examples.eigenimages import show_errors
+    from raleigh_tpu.interfaces.pca import pca
+    from raleigh_tpu.examples.generate_matrix import generate
+
+    np.random.seed(1)
+    data, *_ = generate(300, 200, 100, pca=True)
+    mean, trans, comps = pca(data, npc=40)
+    npz = tmp_path / 'ei.npz'
+    np.savez(npz, mean=mean, trans=trans, comps=comps)
+    errs = show_errors(data, str(npz), plot=False)
+    assert errs.shape == (300,)
+    assert np.median(errs) < 0.5
+    out = capsys.readouterr().out
+    assert 'per-image relative errors' in out
+
+
 def test_sparse_evp_example():
     from raleigh_tpu.examples import sparse_evp
 
