@@ -237,6 +237,68 @@ def _extra_dia_spmm():
     return round(gnnz, 3), round(gbps, 1)
 
 
+def _extra_dia_spmm_hbm():
+    """DIA SpMM at an HBM-resident size (lap3d 100x100x128, n=1.28e6:
+    the (32, n) operand alone is 164 MB) through the sliding-window
+    Pallas kernel (ops/spmm_window.py) — the regime where the fused XLA
+    kernel's shifted-window re-reads collapse to ~156 GB/s.  Marginal
+    chain methodology as elsewhere; the matrix values are pre-scaled by
+    1/8 so the chain needs no extra elementwise op."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from functools import partial
+    from jax import lax
+    from raleigh_tpu.examples.laplace import lap3d
+    from raleigh_tpu.ops.spmm import DiaMatrix
+
+    m = 32
+    a = lap3d(100, 100, 128, 1.0, 1.0, 1.0) * 0.125
+    d = DiaMatrix(a)
+    n = d.shape[0]
+    x = jax.random.normal(jax.random.PRNGKey(1), (m, n), jnp.float32)
+    y = d.matmat_rows_window(x)          # build + compile + run once
+    fn = d._window_cache[(m, 32768, False)]
+
+    def make_chain(reps):
+        @jax.jit
+        def chain(xx):
+            return lax.fori_loop(0, reps, lambda i, yy: fn(yy), xx)
+        return chain
+
+    dt = _time_chain_marginal(make_chain, x, reps_lo=50, reps_hi=200)
+    gnnz = d.nnz / dt / 1e9
+    gbps = (len(d.offsets) * n * 4 + 2 * n * m * 4) / dt / 1e9
+    return round(gnnz, 3), round(gbps, 1)
+
+
+def _extra_pca_tol(a):
+    """Tolerance-driven device PCA (adaptive-rank subspace engine) on the
+    full bench matrix; the rank cap bounds the growth loop so a slow
+    spectrum cannot eat the bench budget."""
+    import numpy as np
+    from raleigh_tpu.interfaces.randomized import subspace_pca_tol
+
+    t0 = time.time()
+    mean, trans, comps = subspace_pca_tol(a, 0.05, max_npc=1200,
+                                          fetch=False)
+    np.asarray(comps[0, :8])           # force completion
+    return round(time.time() - t0, 3)
+
+
+def _extra_pca_jacobi(a):
+    """Reference-parity block Jacobi-CG PCA engine (per-vector
+    convergence control) on a quarter-scale slice of the bench matrix."""
+    import numpy as np
+    from raleigh_tpu.interfaces.pca import pca
+
+    sub = np.asarray(a[:3000, :10000])
+    t0 = time.time()
+    mean, trans, comps = pca(sub, npc=100, arch='tpu', method='jacobi')
+    assert comps.shape[0] == 100
+    return round(time.time() - t0, 3)
+
+
 def child_main():
     os.makedirs('/root/repo/.xla_cache', exist_ok=True)
     import jax
@@ -265,6 +327,26 @@ def child_main():
         result['extra']['dia_spmm_gb_per_s'] = gbps
     except Exception as e:                          # noqa: BLE001
         result['extra']['dia_spmm_gnnz_per_s'] = 'error: %s' % e
+        try:
+        if platform != 'cpu':
+            hbm = _extra_dia_spmm_hbm()
+            result['extra']['dia_spmm_hbm_gnnz_per_s'] = hbm[0]
+            result['extra']['dia_spmm_hbm_gb_per_s'] = hbm[1]
+    except Exception as e:                          # noqa: BLE001
+        result['extra']['dia_spmm_hbm_gnnz_per_s'] = 'error: %s' % e
+    # both PCA engines on record (VERDICT round-2 weak item 4): the
+    # adaptive tolerance-driven subspace run on the full bench matrix,
+    # and the reference-parity Jacobi engine on a quarter-scale slice
+    # (its full-size run does not fit the bench budget)
+    try:
+        result['extra']['pca_subspace_tol005_s'] = _extra_pca_tol(a)
+    except Exception as e:                          # noqa: BLE001
+        result['extra']['pca_subspace_tol005_s'] = 'error: %s' % e
+    try:
+        result['extra']['pca_jacobi_3000x10k_npc100_s'] = \
+            _extra_pca_jacobi(a)
+    except Exception as e:                          # noqa: BLE001
+        result['extra']['pca_jacobi_3000x10k_npc100_s'] = 'error: %s' % e
 
     print(json.dumps(result), flush=True)
     try:
@@ -303,8 +385,12 @@ def parent_main():
     # 600 s covers a cold-compile device run several times over; a wedged
     # tunnel must not be allowed to eat the driver's whole bench budget
     # before the CPU fallback gets its turn
+    # the CPU fallback must also blank PALLAS_AXON_POOL_IPS: with it set,
+    # the sitecustomize hook registers the axon backend and JAX_PLATFORMS
+    # =cpu alone does not take effect
     attempts = [({}, 600), ({}, 600),
-                ({'JAX_PLATFORMS': 'cpu'}, 3000)]
+                ({'JAX_PLATFORMS': 'cpu', 'PALLAS_AXON_POOL_IPS': ''},
+                 3000)]
     backoff = [20, 40, 0]
     last_err = None
     for i, (env, tmo) in enumerate(attempts):

@@ -91,6 +91,30 @@ class DiaMatrix:
         """(n, m) = A @ (n, m)."""
         return _dia_matmat(self.val, xt, self.offsets)
 
+    def matmat_rows_window(self, x, tile=32768, interpret=False):
+        """(m, n) = ((m, n) @ A) for row-vector operands through the
+        sliding-window Pallas kernel (ops/spmm_window.py) — the
+        HBM-resident fast path (A symmetric, so x A = (A x')').  Falls
+        back to the fused XLA kernel when the window constraints don't
+        hold (small n, unaligned n, non-f32)."""
+        m, n = x.shape
+        key = (m, tile, bool(interpret))
+        fn = self._window_cache.get(key) if hasattr(
+            self, '_window_cache') else None
+        if fn is None:
+            try:
+                from .spmm_window import build_dia_window_matmat
+                fn = build_dia_window_matmat(
+                    self.offsets, np.asarray(self.val), n, m, tile=tile,
+                    interpret=interpret)
+            except ValueError:
+                def fn(xx):
+                    return _dia_matmat(self.val, xx.T, self.offsets).T
+            if not hasattr(self, '_window_cache'):
+                self._window_cache = {}
+            self._window_cache[key] = fn
+        return fn(x)
+
 
 @partial(jax.jit, static_argnames=('offsets',))
 def _dia_matmat(val, xt, offsets):

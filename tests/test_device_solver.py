@@ -43,6 +43,30 @@ def test_dia_steering_rejects_scattered_pattern():
     assert type(device_sparse(a)).__name__ != 'DiaMatrix'
 
 
+def test_dia_window_kernel_interpret():
+    """Sliding-window Pallas DIA SpMM (HBM-resident fast path) in
+    interpreter mode: correctness incl. both edge tiles and the padded
+    remainder, plus the fallback for unaligned n."""
+    from raleigh_tpu.ops.spmm import DiaMatrix
+    from raleigh_tpu.examples.laplace import lap3d
+
+    a = lap3d(24, 24, 24, 1.0, 1.0, 1.0)      # n = 13824 (128-aligned)
+    n = a.shape[0]
+    d = DiaMatrix(a, dtype=np.float32)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, n)).astype(np.float32)
+    y = np.asarray(d.matmat_rows_window(x, tile=4096, interpret=True))
+    want = (a @ x.T).T
+    assert np.abs(y - want).max() / np.abs(want).max() < 1e-6
+
+    a2 = lap3d(10, 10, 10, 1.0, 1.0, 1.0)     # n = 1000: unaligned
+    d2 = DiaMatrix(a2, dtype=np.float32)
+    x2 = rng.standard_normal((4, 1000)).astype(np.float32)
+    y2 = np.asarray(d2.matmat_rows_window(x2, interpret=True))
+    want2 = (a2 @ x2.T).T
+    assert np.abs(y2 - want2).max() / np.abs(want2).max() < 1e-5
+
+
 def test_fused_chebyshev_matches_host(lap):
     from raleigh_tpu.algebra.sparse import Chebyshev, spectral_bounds
     from raleigh_tpu.algebra import dense_jax
