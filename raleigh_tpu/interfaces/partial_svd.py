@@ -86,21 +86,18 @@ class PartialSVD:
 
     def __init__(self, matrix, shift=False):
         op = matrix.as_operator()
-        m, n = matrix.shape()
-        transp = m < n
-        if transp:
-            m, n = n, m
-        v = op.new_vectors(n)
+        rows, cols = matrix.shape()
+        # iterate on the SHORT side of A: the normal operator acting
+        # there has the same nonzero spectrum at a fraction of the cost
+        self.__transp = rows < cols
+        self.__shape = (max(rows, cols), min(rows, cols))
         self.__op = op
-        self.__transp = transp
-        self.__shape = (m, n)
         self.__shift = shift
-        self.__v = v
-        self.__opsvd = _OperatorSVD(matrix, v, transp, shift)
+        self.__v = op.new_vectors(self.__shape[1])
+        self.__opsvd = _OperatorSVD(matrix, self.__v, self.__transp,
+                                    shift)
         self.sigma = None
-        self.__left_v = None
-        self.__right_v = None
-        self.__mean_v = None
+        self.__left_v = self.__right_v = self.__mean_v = None
         self.iterations = -1
 
     def op_svd(self):
@@ -121,9 +118,7 @@ class PartialSVD:
 
         status, iterations = self._solve_evp(v, opSVD, opt, nsv)
         if status < 0:
-            self.__mean_v = None
-            self.__left_v = None
-            self.__right_v = None
+            self.__mean_v = self.__left_v = self.__right_v = None
             return
         if opt.verbosity > 0:
             print('operator application time: %.2e' % opSVD.time)
@@ -131,54 +126,64 @@ class PartialSVD:
         nv = v.nvec()
         u = v.new_vectors(nv, m)
         if nv > 0:
-            eps = 0.0 if nv < 2 else float(refine)
-            op.apply(v, u, transp)
-            if shift:
-                mm, nn = op.shape()
-                dt = op.data_type()
-                ones = np.ones((1, mm), dtype=dt)
-                e = v.new_vectors(1, mm)
-                e.fill(ones)
-                w = v.new_vectors(1, nn)
-                op.apply(e, w, transp=True)
-                w.scale(mm * ones[0, :1])
-                if not transp:
-                    s = v.dot(w)
-                    u.add(e, -1, s)
-                else:
-                    s = v.dot(e)
-                    u.add(w, -1, s)
-            sigma = np.sqrt(np.abs(u.dots(u).real))
-            if eps > 0 or np.amin(sigma) == 0.0:
-                if eps == 1.0:
-                    # orthonormalize u by an SVD of A v
-                    sigma, q = u.svd()
-                    w = v.new_vectors(nv)
-                    v.multiply(q, w)
-                    w.copy(v)
-                else:
-                    u, sigma, v = self._finalize_svd(v, u, eps)
-            else:
-                u.scale(sigma)
-                ind = np.argsort(-sigma)
-                sigma = sigma[ind]
-                w = u.new_vectors(nv)
-                u.copy(w, ind)
-                w.copy(u)
-                w = v.new_vectors(nv)
-                v.copy(w, ind)
-                w.copy(v)
+            u, sigma, v = self._recover_long_side(
+                v, u, 0.0 if nv < 2 else float(refine))
         else:
             sigma = np.zeros((0,), dtype=v.data_type())
         self.sigma = sigma
         self.__mean_v = opSVD.mean_v()
         self.iterations = iterations
-        if transp:
-            self.__left_v = v
-            self.__right_v = u
+        # the iterated side holds the short-dimension singular vectors
+        long_is_left = not transp
+        self.__left_v = u if long_is_left else v
+        self.__right_v = v if long_is_left else u
+
+    def _recover_long_side(self, v, u, eps):
+        """From converged short-side vectors v, recover the long-side
+        factor u = (shifted) A v and put (u, sigma, v) into SVD form.
+
+        eps == 1: one in-place SVD of the image block; 0 < eps < 1: the
+        iterated-Cholesky scheme with orthonormality target eps;
+        eps == 0 (single vector / exactly orthogonal images): just
+        scale and order by descending sigma."""
+        op = self.__op
+        transp = self.__transp
+        nv = v.nvec()
+        op.apply(v, u, transp)
+        if self.__shift:
+            self._subtract_mean_images(v, u)
+        sigma = np.sqrt(np.abs(u.dots(u).real))
+        if eps == 0.0 and np.amin(sigma) > 0.0:
+            u.scale(sigma)
+            order = np.argsort(-sigma)
+            for blk in (u, v):
+                tmp = blk.new_vectors(nv)
+                blk.copy(tmp, order)
+                tmp.copy(blk)
+            return u, sigma[order], v
+        if eps == 1.0:
+            sigma, rot = u.svd()
+            aligned = v.new_vectors(nv)
+            v.multiply(rot, aligned)
+            aligned.copy(v)
+            return u, sigma, v
+        return self._finalize_svd(v, u, eps)
+
+    def _subtract_mean_images(self, v, u):
+        """Remove the rank-one mean term from the image block, matching
+        the implicitly-shifted operator the eigensolver iterated."""
+        op = self.__op
+        mm, nn = op.shape()
+        ones = np.ones((1, mm), dtype=op.data_type())
+        e = v.new_vectors(1, mm)
+        e.fill(ones)
+        col_means = v.new_vectors(1, nn)
+        op.apply(e, col_means, transp=True)
+        col_means.scale(mm * ones[0, :1])
+        if self.__transp:
+            u.add(col_means, -1, v.dot(e))
         else:
-            self.__left_v = u
-            self.__right_v = v
+            u.add(e, -1, v.dot(col_means))
 
     def _solve_evp(self, v, opSVD, opt, nsv):
         """Run the normal-operator eigensolver: the chunked device engine
