@@ -41,7 +41,10 @@ def run(m=4000, n=6000, npc=300, engines=('jacobi-cpu', 'subspace',
         elif engine == 'subspace':
             mean, trans, comps = pca(A, npc=npc, method='subspace')
         elif engine == 'jacobi-tpu':
-            mean, trans, comps = pca(A, npc=npc, arch='tpu')
+            # force the parity engine: arch='tpu' alone now routes to
+            # the subspace engine via method='auto'
+            mean, trans, comps = pca(A, npc=npc, arch='tpu',
+                                     method='jacobi')
         else:
             mean, trans, comps = pca(A, npc=npc, arch='cpu')
         dt = time.time() - t0
