@@ -40,6 +40,9 @@ _EXPORTS = {
     'AMatrix': 'raleigh_tpu.algebra.dense',
     'lobpcg': 'raleigh_tpu.core.device_solver',
     'subspace_pca': 'raleigh_tpu.interfaces.randomized',
+    'subspace_pca_tol': 'raleigh_tpu.interfaces.randomized',
+    'subspace_pca_update': 'raleigh_tpu.interfaces.randomized',
+    'subspace_pca_stream': 'raleigh_tpu.interfaces.randomized',
     'randomized_svd': 'raleigh_tpu.interfaces.randomized',
     'Chebyshev': 'raleigh_tpu.algebra.sparse',
     'spectral_bounds': 'raleigh_tpu.algebra.sparse',
