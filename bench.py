@@ -327,7 +327,7 @@ def child_main():
         result['extra']['dia_spmm_gb_per_s'] = gbps
     except Exception as e:                          # noqa: BLE001
         result['extra']['dia_spmm_gnnz_per_s'] = 'error: %s' % e
-        try:
+    try:
         if platform != 'cpu':
             hbm = _extra_dia_spmm_hbm()
             result['extra']['dia_spmm_hbm_gnnz_per_s'] = hbm[0]
