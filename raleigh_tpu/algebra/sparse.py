@@ -31,6 +31,17 @@ def _vec_data(x):
     return x if d is None or not callable(d) else d()
 
 
+def _rows_capable(dev, xd):
+    """True when the device matrix can apply directly to the (m, n)
+    row-vector layout (DIA — including its HBM sliding-window fast path)
+    and the operand lives on a single device (the sharded regimes go
+    through parallel/spmm_sharded instead)."""
+    if not hasattr(dev, 'matmat_rows'):
+        return False
+    sh = getattr(xd, 'sharding', None)
+    return sh is None or len(sh.device_set) == 1
+
+
 class SparseSymmetricMatrix:
     """y = A x for blocks of row-vectors; A real symmetric (or Hermitian)
     in any SciPy sparse format."""
@@ -70,10 +81,12 @@ class SparseSymmetricMatrix:
 
     def apply(self, x, y):
         if self.__dev is not None and hasattr(x, 'device_data'):
-            import jax.numpy as jnp
-            xt = x.device_data().T            # (n, m) for row-major gathers
-            yt = self.__dev.matmat_t(xt)
-            y.fill(np.asarray(yt.T))
+            xd = x.device_data()
+            if _rows_capable(self.__dev, xd):
+                y.fill(self.__dev.matmat_rows(xd))   # no relayout
+            else:
+                # (n, m) so ELL/BSR row gathers hit the major dimension
+                y.fill(self.__dev.matmat_t(xd.T).T)
             return
         xd = _vec_data(x)
         out = self.__csr_full.dot(xd.T).T
@@ -289,6 +302,7 @@ class Chebyshev:
         self.hi = float(hi)
         self.degree = int(degree)
         self.__fused = None
+        self.__fused_rows = None
 
     def _device_fused(self):
         """One-jit version of the whole recurrence: ``degree`` SpMMs plus
@@ -322,13 +336,48 @@ class Chebyshev:
         self.__fused = run
         return run
 
+    def _device_fused_rows(self):
+        """Row-layout twin of ``_device_fused`` for (m, n) row-vector
+        blocks: the recurrence is elementwise except for the SpMMs, which
+        go through ``matmat_rows`` — direct row-layout DIA (including the
+        HBM sliding-window fast path), no relayouts."""
+        if self.__fused_rows is not None:
+            return self.__fused_rows
+        dev = self.__op.device_matrix()
+        theta = 0.5 * (self.hi + self.lo)
+        delta = 0.5 * (self.hi - self.lo)
+        sigma1 = theta / delta
+        degree = self.degree
+
+        import jax
+
+        @jax.jit
+        def run(x):
+            rho = 1.0 / sigma1
+            d = x / theta
+            r = x
+            y = None
+            for _ in range(degree):
+                y = d if y is None else y + d
+                r = r - dev.matmat_rows(d)
+                rho_new = 1.0 / (2.0 * sigma1 - rho)
+                d = (rho * rho_new) * d + (2.0 * rho_new / delta) * r
+                rho = rho_new
+            return y
+
+        self.__fused_rows = run
+        return run
+
     def apply(self, x, y):
         """y ~= A^-1 x: Chebyshev iteration for A y = x with y0 = 0,
         eigenvalue bounds [lo, hi]."""
         if (self.__op.device_matrix() is not None
                 and hasattr(x, 'device_data')):
-            yt = self._device_fused()(x.device_data().T)
-            y.fill(yt.T)
+            xd = x.device_data()
+            if _rows_capable(self.__op.device_matrix(), xd):
+                y.fill(self._device_fused_rows()(xd))
+            else:
+                y.fill(self._device_fused()(xd.T).T)
             return
         theta = 0.5 * (self.hi + self.lo)
         delta = 0.5 * (self.hi - self.lo)

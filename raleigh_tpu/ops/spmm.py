@@ -115,6 +115,44 @@ class DiaMatrix:
             self._window_cache[key] = fn
         return fn(x)
 
+    # working set above which the fused XLA kernel's shifted re-reads no
+    # longer hide in VMEM/cache residency (v5e VMEM is 128 MiB) and the
+    # sliding-window kernel's read-x-once discipline wins (STATUS.md
+    # HBM-regime roofline note)
+    WINDOW_HBM_BYTES = 112 * 2 ** 20
+
+    def matmat_rows(self, x, tile=32768):
+        """(m, n) = ((m, n) @ A) for row-vector operand blocks — the
+        layout the block-vector algebra stores (vectors as rows), so no
+        transposes are inserted.  Routes to the sliding-window Pallas
+        kernel when the working set is HBM-resident and the window
+        constraints hold; otherwise runs the fused XLA shifted-slice
+        kernel directly in row layout."""
+        m, n = x.shape
+        noff = len(self.offsets)
+        ws = (2 * m + noff) * n * 4
+        if (ws > self.WINDOW_HBM_BYTES and n % 128 == 0
+                and x.dtype == jnp.float32
+                and -(-n // max(tile, 128)) >= 2):
+            return self.matmat_rows_window(x, tile=tile)
+        return _dia_matmat_rows(self.val, x, self.offsets)
+
+
+@partial(jax.jit, static_argnames=('offsets',))
+def _dia_matmat_rows(val, x, offsets):
+    """Row-layout twin of ``_dia_matmat``: y[:, i] = sum_k val[k, i] *
+    x[:, i + offsets[k]] with the static shifts on the lane (minor)
+    dimension, so row-vector operand blocks need no relayout."""
+    m, n = x.shape
+    lo = max(0, -min(offsets))
+    hi = max(0, max(offsets))
+    xp = jnp.pad(x, ((0, 0), (lo, hi)))
+    y = jnp.zeros((m, n), dtype=x.dtype)
+    for k, off in enumerate(offsets):
+        y = y + val[k][None, :] * jax.lax.dynamic_slice_in_dim(
+            xp, lo + off, n, axis=1)
+    return y
+
 
 @partial(jax.jit, static_argnames=('offsets',))
 def _dia_matmat(val, xt, offsets):

