@@ -161,7 +161,11 @@ def _extra_sparse_evp():
         spent += dt
         if status != 0:
             raise RuntimeError('partial_hevp status %d' % status)
-        err = np.max(np.abs(np.sort(vals) - exact) / exact)
+        if len(vals) < 10:
+            raise RuntimeError('only %d eigenvalues returned' % len(vals))
+        # the solver may return extra converged pairs beyond the 10
+        # requested (reference semantics); compare the 10 smallest
+        err = np.max(np.abs(np.sort(vals)[:10] - exact) / exact)
         if err > 1e-6:
             raise RuntimeError('lap3d eigenvalue error %.2e' % err)
         best = dt if best is None else min(best, dt)
@@ -274,13 +278,17 @@ def _extra_dia_spmm_hbm():
 
 def _extra_pca_tol(a):
     """Tolerance-driven device PCA (adaptive-rank subspace engine) on the
-    full bench matrix; the rank cap bounds the growth loop so a slow
-    spectrum cannot eat the bench budget."""
+    full bench matrix.  The tolerance must sit above the matrix's
+    achievable error floor (~0.20 relative Frobenius, see _verify_pca):
+    an unachievable tol makes the growth loop escalate rank-cap-ward
+    through ever-larger compiles and says nothing about the engine.  At
+    0.25 the loop converges in one or two subspace sizes.  The rank cap
+    stays as a second safety bound."""
     import numpy as np
     from raleigh_tpu.interfaces.randomized import subspace_pca_tol
 
     t0 = time.time()
-    mean, trans, comps = subspace_pca_tol(a, 0.05, max_npc=1200,
+    mean, trans, comps = subspace_pca_tol(a, 0.25, max_npc=1200,
                                           fetch=False)
     np.asarray(comps[0, :8])           # force completion
     return round(time.time() - t0, 3)
@@ -339,9 +347,9 @@ def child_main():
     # and the reference-parity Jacobi engine on a quarter-scale slice
     # (its full-size run does not fit the bench budget)
     try:
-        result['extra']['pca_subspace_tol005_s'] = _extra_pca_tol(a)
+        result['extra']['pca_subspace_tol_s'] = _extra_pca_tol(a)
     except Exception as e:                          # noqa: BLE001
-        result['extra']['pca_subspace_tol005_s'] = 'error: %s' % e
+        result['extra']['pca_subspace_tol_s'] = 'error: %s' % e
     try:
         result['extra']['pca_jacobi_3000x10k_npc100_s'] = \
             _extra_pca_jacobi(a)
