@@ -143,10 +143,11 @@ def _row_error_profile(gdiag, u, sigma):
 
 
 def _rank_for_tol(G, lmd, u, tol, norm):
-    """Smallest k meeting the tolerance, or None if even the full
-    computed subspace does not.  Error conventions follow the reference
-    stopping criteria (truncated_svd.py:244-257): relative Frobenius
-    ('f'), relative max row norm ('m'), relative singular value ('s')."""
+    """(smallest k meeting the tolerance or None, full error profile
+    prof (l+1,) with prof[k] = relative error after keeping k
+    components).  Error conventions follow the reference stopping
+    criteria (truncated_svd.py:244-257): relative Frobenius ('f'),
+    relative max row norm ('m'), relative singular value ('s')."""
     sigma2 = np.asarray(lmd)
     if norm == 'f':
         total = max(float(jnp.trace(G)), 1e-30)
@@ -161,7 +162,34 @@ def _rank_for_tol(G, lmd, u, tol, norm):
         s = np.sqrt(np.maximum(sigma2, 0.0))
         prof = np.concatenate(([1.0], s / max(s[0], 1e-30)))
     ok = np.nonzero(prof <= tol)[0]
-    return int(ok[0]) if ok.size else None
+    return (int(ok[0]) if ok.size else None), prof
+
+
+def _next_subspace_size(prof, tol, l, cap):
+    """Predict the next subspace size when the rank-l profile did not
+    meet ``tol``: extrapolate log(prof) linearly in log(k) over the
+    profile's last octave and solve for prof(k) = tol.  Each subspace
+    size is a fresh (large) XLA compile, so jumping near the predicted
+    rank beats blind doubling; the loop re-checks, so an undershoot
+    costs at most one more round.  A flat tail (noise floor / slow
+    spectrum: no meaningful decay) jumps straight to the cap — no
+    sequence of doublings can help there."""
+    k0, k1 = max(1, l // 2), l
+    with np.errstate(divide='ignore'):
+        y0 = np.log(max(float(prof[k0]), 1e-300))
+        y1 = np.log(max(float(prof[k1]), 1e-300))
+    slope = (y1 - y0) / np.log(k1 / k0) if k1 > k0 else 0.0
+    if slope >= -1e-3:                      # flat: tol is out of reach
+        return cap
+    if not np.isfinite(slope):
+        return cap
+    # prof(k) ~ prof(l) * (k/l)^slope  =>  k = l * (tol/prof(l))^(1/slope)
+    k_pred = k1 * np.exp((np.log(tol) - y1) / slope)
+    # 25% margin so the convergence-trust cut (l - l//8) still covers
+    # the predicted rank; never shrink the step below 1.5x (progress
+    # guarantee), never exceed the cap
+    target = int(np.ceil(1.25 * k_pred + 16))
+    return int(min(max(target, (3 * l) // 2), cap))
 
 
 @partial(jax.jit, static_argnames=('npc',))
@@ -199,7 +227,7 @@ def subspace_pca_tol(a, tol, norm='f', max_npc=-1, iters=6, seed=1,
         lmd, u = _gram_subspace(G, key, int(l), int(iters))
         # only the leading part of the subspace is trusted as converged
         margin = l - max(8, l // 8) if l < m else l
-        k = _rank_for_tol(G, lmd, u, tol, norm)
+        k, prof = _rank_for_tol(G, lmd, u, tol, norm)
         if verb > 0:
             print('subspace l=%d -> needed k=%s' % (l, k))
         if k is not None and (k <= margin or l >= cap):
@@ -207,7 +235,7 @@ def subspace_pca_tol(a, tol, norm='f', max_npc=-1, iters=6, seed=1,
         if l >= cap:
             k = min(cap, l)
             break
-        l = min(max(2 * l, 128), cap)
+        l = _next_subspace_size(prof, tol, l, cap)
     if max_npc and max_npc > 0:
         k = min(k, max_npc)
     k = max(k, 1)
@@ -316,7 +344,7 @@ def subspace_pca_update(have, a1, npc=-1, tol=0, norm='f', max_npc=-1,
         while True:
             lmd, u = _gram_subspace(G, key, int(l), int(iters))
             margin = l - max(8, l // 8) if l < m else l
-            k = _rank_for_tol(G, lmd, u, stage_tol, norm)
+            k, prof = _rank_for_tol(G, lmd, u, stage_tol, norm)
             if verb > 0:
                 print('subspace update l=%d -> needed k=%s' % (l, k))
             if k is not None and (k <= margin or l >= cap):
@@ -324,7 +352,7 @@ def subspace_pca_update(have, a1, npc=-1, tol=0, norm='f', max_npc=-1,
             if l >= cap:
                 k = min(cap, l)
                 break
-            l = min(2 * l, cap)
+            l = _next_subspace_size(prof, stage_tol, l, cap)
         if max_npc and max_npc > 0:
             k = min(k, max_npc)
         k = max(k, 1)

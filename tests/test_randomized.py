@@ -84,6 +84,26 @@ def test_pca_auto_routes_tpu_to_subspace():
     assert ef <= ef_opt * 1.02
 
 
+def test_next_subspace_size_prediction():
+    """The growth-loop step extrapolates the error profile instead of
+    blind doubling: a power-law profile jumps near the predicted rank, a
+    flat (noise-floor) profile jumps straight to the cap, and every step
+    makes at least 1.5x progress."""
+    from raleigh_tpu.interfaces.randomized import _next_subspace_size
+
+    k = np.arange(0, 1025)
+    prof = np.concatenate(([1.0], (k[1:] / 1.0) ** -0.5))  # prof ~ k^-0.5
+    # tol = 0.05 -> k_pred = 400; with margin the jump lands close above
+    nxt = _next_subspace_size(prof, 0.05, 128, 4000)
+    assert 400 <= nxt <= 700
+    # flat profile: tolerance unreachable, go straight to the cap
+    flat = np.full(129, 0.5)
+    assert _next_subspace_size(flat, 0.05, 128, 4000) == 4000
+    # prediction below current l still makes 1.5x progress
+    steep = np.concatenate(([1.0], (k[1:] / 1.0) ** -2.0))
+    assert _next_subspace_size(steep, 0.5, 128, 4000) >= 192
+
+
 def test_randomized_svd_sigma():
     np.random.seed(1)
     A, s0, u0, v0 = generate(1000, 700, 300)
