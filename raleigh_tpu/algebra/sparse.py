@@ -340,7 +340,12 @@ class Chebyshev:
         """Row-layout twin of ``_device_fused`` for (m, n) row-vector
         blocks: the recurrence is elementwise except for the SpMMs, which
         go through ``matmat_rows`` — direct row-layout DIA (including the
-        HBM sliding-window fast path), no relayouts."""
+        HBM sliding-window fast path), no relayouts.
+
+        Lane-unaligned HBM-resident problems iterate at the padded width
+        through ``window_padded_fn``: one pad on entry and one slice on
+        exit amortize over the ``degree`` window-kernel applies (the
+        zero-padded diagonals keep the pad lanes zero throughout)."""
         if self.__fused_rows is not None:
             return self.__fused_rows
         dev = self.__op.device_matrix()
@@ -350,20 +355,29 @@ class Chebyshev:
         degree = self.degree
 
         import jax
+        import jax.numpy as jnp
 
         @jax.jit
         def run(x):
+            m, n = x.shape
+            win = dev.window_padded_fn(m) \
+                if n % 128 and hasattr(dev, 'window_padded_fn') else None
+            if win is not None:
+                mat, n128 = win
+                x = jnp.pad(x, ((0, 0), (0, n128 - n)))
+            else:
+                mat = dev.matmat_rows
             rho = 1.0 / sigma1
             d = x / theta
             r = x
             y = None
             for _ in range(degree):
                 y = d if y is None else y + d
-                r = r - dev.matmat_rows(d)
+                r = r - mat(d)
                 rho_new = 1.0 / (2.0 * sigma1 - rho)
                 d = (rho * rho_new) * d + (2.0 * rho_new / delta) * r
                 rho = rho_new
-            return y
+            return y[:, :n] if win is not None else y
 
         self.__fused_rows = run
         return run

@@ -137,6 +137,39 @@ class DiaMatrix:
             return self.matmat_rows_window(x, tile=tile)
         return _dia_matmat_rows(self.val, x, self.offsets)
 
+    def window_padded_fn(self, m, tile=32768, interpret=False):
+        """Sliding-window kernel for lane-UNALIGNED n: the aligned kernel
+        built at n128 = ceil(n/128)*128 over zero-padded diagonals.
+        Returns (fn: (m, n128) -> (m, n128), n128), or None when the
+        working set is not HBM-resident or the dtype is not f32.
+
+        The zero val columns beyond n keep the pad lanes of the result
+        exactly zero, so a chained consumer (e.g. the fused Chebyshev
+        recurrence) pads the operand once, iterates at n128, and slices
+        back at the end — the pad/slice cost amortizes over the chain."""
+        n = self.shape[0]
+        noff = len(self.offsets)
+        if ((2 * m + noff) * n * 4 <= self.WINDOW_HBM_BYTES
+                or self.val.dtype != jnp.float32):
+            return None
+        n128 = -(-n // 128) * 128
+        key = ('padded', m, tile, bool(interpret))
+        if not hasattr(self, '_window_cache'):
+            self._window_cache = {}
+        hit = self._window_cache.get(key)
+        if hit is not None:
+            return hit
+        try:
+            from .spmm_window import build_dia_window_matmat
+            vp = np.zeros((noff, n128), np.float32)
+            vp[:, :n] = np.asarray(self.val)
+            fn = build_dia_window_matmat(self.offsets, vp, n128, m,
+                                         tile=tile, interpret=interpret)
+        except ValueError:
+            return None
+        self._window_cache[key] = (fn, n128)
+        return fn, n128
+
 
 @partial(jax.jit, static_argnames=('offsets',))
 def _dia_matmat_rows(val, x, offsets):

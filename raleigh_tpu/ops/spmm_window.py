@@ -43,6 +43,14 @@ def build_dia_window_matmat(offsets, val, n, m, tile=32768,
 
     ``offsets``: static diagonal offsets; ``val``: (noff, n) diagonal
     values (row convention val[k, i] = A[i, i + offsets[k]]).
+
+    n must be a multiple of 128: Mosaic rejects lane-unaligned HBM slice
+    widths (verified on v5e), and Pallas bounds-checks slices against the
+    logical shape, so the tail cannot borrow the operand's physical tile
+    padding either.  Unaligned problems go through
+    ``DiaMatrix.window_padded_fn``: the same kernel built at
+    ceil(n/128)*128 with zero-padded diagonals, fed logically padded
+    operands (one pad/slice amortized over a chained recurrence).
     """
     offsets = tuple(int(o) for o in offsets)
     noff = len(offsets)
@@ -84,10 +92,12 @@ def build_dia_window_matmat(offsets, val, n, m, tile=32768,
 
         @pl.when(i == 0)
         def _():
-            xwin[:, 0:halo_lo] = jnp.zeros((m, halo_lo), xwin.dtype)
             if w0 < T + halo_hi:
-                xwin[:, halo_lo + w0:] = jnp.zeros(
-                    (m, T + halo_hi - w0), xwin.dtype)
+                # short first window: zero it whole (lane-aligned store)
+                # before the partial DMA lands
+                xwin[...] = jnp.zeros((m, T + H), xwin.dtype)
+            else:
+                xwin[:, 0:halo_lo] = jnp.zeros((m, halo_lo), xwin.dtype)
             cp = pltpu.make_async_copy(
                 x_hbm.at[:, pl.ds(0, w0)],
                 xwin.at[:, pl.ds(halo_lo, w0)], sems.at[2])
@@ -117,10 +127,11 @@ def build_dia_window_matmat(offsets, val, n, m, tile=32768,
             def _(s=s, wv=wv):
                 slot = (s - 1) % 2
                 if wv < T:
-                    # zero only the region the DMA does not write (the
-                    # padded-val columns then annihilate it exactly)
-                    stage[slot, :, wv:] = jnp.zeros((m, T - wv),
-                                                    stage.dtype)
+                    # zero the whole tail tile before the partial DMA
+                    # lands (the padded-val columns then annihilate the
+                    # zeros exactly); a full-tile store keeps every
+                    # vector op lane-aligned even for unaligned wv
+                    stage[slot] = jnp.zeros((m, T), stage.dtype)
                 if wv > 0:
                     stage_dma(s, wv, slot).start()
 

@@ -67,6 +67,30 @@ def test_dia_window_kernel_interpret():
     assert np.abs(y2 - want2).max() / np.abs(want2).max() < 1e-5
 
 
+def test_window_padded_fn_unaligned(lap):
+    """Sliding-window kernel for lane-unaligned n: the aligned kernel at
+    ceil(n/128)*128 over zero-padded diagonals gives the exact product on
+    the first n lanes and keeps the pad lanes zero (chain safety)."""
+    import jax.numpy as jnp
+    from raleigh_tpu.ops.spmm import DiaMatrix
+
+    a, _ = lap
+    n = a.shape[0]                           # 1000: not 128-aligned
+    d = DiaMatrix(a, dtype=np.float32)
+    d.WINDOW_HBM_BYTES = 0                   # force the HBM route
+    win = d.window_padded_fn(4, tile=512, interpret=True)
+    assert win is not None
+    fn, n128 = win
+    assert n128 % 128 == 0 and n128 >= n
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, n)).astype(np.float32)
+    xp = jnp.pad(jnp.asarray(x), ((0, 0), (0, n128 - n)))
+    y = np.asarray(fn(xp))
+    want = (a @ x.T).T
+    assert np.abs(y[:, :n] - want).max() / np.abs(want).max() < 1e-5
+    assert np.abs(y[:, n:]).max() == 0.0
+
+
 def test_dia_matmat_rows_matches_transposed(lap):
     """Row-layout DIA apply (the relayout-free path SparseSymmetricMatrix
     uses for (m, n) row-vector blocks) against the column-layout kernel
