@@ -7,10 +7,14 @@ Prints effective GB/s per tile size (bytes = val + operand-in +
 result-out per apply) plus the fused-XLA reference point.
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main():
