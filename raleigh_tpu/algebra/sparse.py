@@ -361,7 +361,8 @@ class Chebyshev:
         def run(x):
             m, n = x.shape
             win = dev.window_padded_fn(m) \
-                if n % 128 and hasattr(dev, 'window_padded_fn') else None
+                if (n % 128 and x.dtype == jnp.float32
+                    and hasattr(dev, 'window_padded_fn')) else None
             if win is not None:
                 mat, n128 = win
                 x = jnp.pad(x, ((0, 0), (0, n128 - n)))

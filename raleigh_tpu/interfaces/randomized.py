@@ -165,30 +165,39 @@ def _rank_for_tol(G, lmd, u, tol, norm):
     return (int(ok[0]) if ok.size else None), prof
 
 
-def _next_subspace_size(prof, tol, l, cap):
+def _next_subspace_size(prof, tol, l, cap, trusted=None):
     """Predict the next subspace size when the rank-l profile did not
-    meet ``tol``: extrapolate log(prof) linearly in log(k) over the
-    profile's last octave and solve for prof(k) = tol.  Each subspace
-    size is a fresh (large) XLA compile, so jumping near the predicted
-    rank beats blind doubling; the loop re-checks, so an undershoot
-    costs at most one more round.  A flat tail (noise floor / slow
-    spectrum: no meaningful decay) jumps straight to the cap — no
-    sequence of doublings can help there."""
-    k0, k1 = max(1, l // 2), l
+    meet ``tol``: extrapolate log(prof) linearly in log(k) over the last
+    octave of the TRUSTED profile range and solve for prof(k) = tol.
+    Each subspace size is a fresh (large) XLA compile, so jumping near
+    the predicted rank beats blind doubling; the loop re-checks, so an
+    undershoot costs at most one more round.  A flat trusted tail
+    (noise floor / slow spectrum: no meaningful decay) jumps straight
+    to the cap — no sequence of doublings can help there.
+
+    ``trusted`` bounds the fit to the converged leading part of the
+    subspace (the unconverged tail flattens the profile artificially and
+    would otherwise fake a noise floor).  tol <= 0 is unreachable by
+    definition: go straight to the cap, like the doubling loop did."""
+    if not (tol > 0):
+        return cap
+    k1 = min(int(trusted), l) if trusted else l
+    k1 = max(k1, 2)
+    k0 = max(1, k1 // 2)
     with np.errstate(divide='ignore'):
         y0 = np.log(max(float(prof[k0]), 1e-300))
         y1 = np.log(max(float(prof[k1]), 1e-300))
     slope = (y1 - y0) / np.log(k1 / k0) if k1 > k0 else 0.0
-    if slope >= -1e-3:                      # flat: tol is out of reach
-        return cap
-    if not np.isfinite(slope):
-        return cap
-    # prof(k) ~ prof(l) * (k/l)^slope  =>  k = l * (tol/prof(l))^(1/slope)
+    if not np.isfinite(slope) or slope >= -1e-3:
+        return cap                          # flat: tol is out of reach
+    # prof(k) ~ prof(k1) * (k/k1)^slope => k = k1 * (tol/prof(k1))^(1/slope)
     k_pred = k1 * np.exp((np.log(tol) - y1) / slope)
+    if not np.isfinite(k_pred):
+        return cap
     # 25% margin so the convergence-trust cut (l - l//8) still covers
     # the predicted rank; never shrink the step below 1.5x (progress
     # guarantee), never exceed the cap
-    target = int(np.ceil(1.25 * k_pred + 16))
+    target = int(np.ceil(min(1.25 * k_pred + 16, float(cap))))
     return int(min(max(target, (3 * l) // 2), cap))
 
 
@@ -352,7 +361,8 @@ def subspace_pca_update(have, a1, npc=-1, tol=0, norm='f', max_npc=-1,
             if l >= cap:
                 k = min(cap, l)
                 break
-            l = _next_subspace_size(prof, stage_tol, l, cap)
+            l = _next_subspace_size(prof, stage_tol, l, cap,
+                                    trusted=margin)
         if max_npc and max_npc > 0:
             k = min(k, max_npc)
         k = max(k, 1)

@@ -133,6 +133,7 @@ class DiaMatrix:
         ws = (2 * m + noff) * n * 4
         if (ws > self.WINDOW_HBM_BYTES and n % 128 == 0
                 and x.dtype == jnp.float32
+                and self.val.dtype == jnp.float32
                 and -(-n // max(tile, 128)) >= 2):
             return self.matmat_rows_window(x, tile=tile)
         return _dia_matmat_rows(self.val, x, self.offsets)

@@ -102,6 +102,17 @@ def test_next_subspace_size_prediction():
     # prediction below current l still makes 1.5x progress
     steep = np.concatenate(([1.0], (k[1:] / 1.0) ** -2.0))
     assert _next_subspace_size(steep, 0.5, 128, 4000) >= 192
+    # tol <= 0 is unreachable by definition: straight to the cap, no
+    # OverflowError (regression: direct subspace_pca_update/stream calls
+    # with default npc=-1, tol=0)
+    assert _next_subspace_size(prof, 0.0, 128, 4000) == 4000
+    assert _next_subspace_size(prof, -1.0, 128, 4000) == 4000
+    # the fit uses only the trusted leading range: an artificially flat
+    # unconverged tail beyond `trusted` must not fake a noise floor
+    prof_flat_tail = prof.copy()
+    prof_flat_tail[112:] = prof_flat_tail[112]
+    nxt = _next_subspace_size(prof_flat_tail, 0.05, 128, 4000, trusted=112)
+    assert nxt < 4000
 
 
 def test_randomized_svd_sigma():
