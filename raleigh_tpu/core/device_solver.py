@@ -18,6 +18,17 @@ vector every ``chunk`` iterations to decide termination.  This is the
 for, in its locally-optimal-block (LOBPCG) formulation, which maps every
 hot op onto the MXU.
 
+Iteration layout: blocks are stored as **(m, n) row-vector arrays** —
+vectors as rows, matching the block-vector algebra's storage convention.
+On TPU this puts the long vector dimension on the lane (minor) axis, so
+every elementwise op runs at full lane width even for small blocks
+(an (n, m) column block with m = 32 uses 32 of 128 lanes), Gram matrices
+contract over lanes on the MXU, and the SpMM consumes
+``DiaMatrix.matmat_rows`` directly — including its sliding-window Pallas
+fast path for HBM-resident operands (ops/spmm_window.py).  The public
+contract stays column-major ((n, k) eigenvectors, (n, nc) constraints)
+like the reference's; transposes happen once at entry/exit.
+
 Algorithm: classical LOBPCG with hierarchical block orthonormalization
 (X ⊥ W ⊥ P by blocked two-pass Gram–Schmidt, per-block eigh-whitening with
 dead-column masking for float32 robustness) and Rayleigh–Ritz over
@@ -29,8 +40,9 @@ and the Ritz matrix reduces to Xᴴ A X.  Prior eigenvectors can be passed
 as ``constraints``: they are B-orthonormalized once and every block is
 deflated against them with exact A/B-image tracking (warm restart,
 reference core/solver.py:112-114,743-757).  The preconditioner is any
-jit-traceable (n, m) -> (n, m) map — e.g. the fused Chebyshev recurrence
-(algebra/sparse.py) whose SpMMs inline into the same XLA program.
+jit-traceable (m, n) -> (m, n) row-layout map — e.g. the fused Chebyshev
+recurrence (``Chebyshev._device_fused_rows``) whose SpMMs inline into
+the same XLA program.
 """
 
 from functools import partial
@@ -44,7 +56,9 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def _gram(a, b):
-    return jnp.matmul(a.conj().T, b, precision=_HI)
+    """Xᴴ Y for row-stored blocks: rows are vectors, contraction over
+    the lane (vector) dimension."""
+    return jnp.einsum('in,jn->ij', a.conj(), b, precision=_HI)
 
 
 def _eigh_small(h):
@@ -64,16 +78,16 @@ def _eigh_small(h):
 
 
 def _bnorms(block, bblock):
-    """Per-column B-norms given the block and its B-image (2-norms when
+    """Per-row B-norms given the block and its B-image (2-norms when
     bblock is block itself)."""
     return jnp.sqrt(jnp.maximum(
-        jnp.einsum('nm,nm->m', block.conj(), bblock, precision=_HI).real,
+        jnp.einsum('mn,mn->m', block.conj(), bblock, precision=_HI).real,
         0.0))
 
 
 def _normalize_drop_pair(block, bblock, sqrt_eps, dead0=None):
-    """Normalize columns to unit B-length; a column whose norm collapsed
-    below sqrt(eps) relative to the block's largest column is pure
+    """Normalize rows to unit B-length; a row whose norm collapsed
+    below sqrt(eps) relative to the block's largest row is pure
     rounding noise (e.g. the residual of a converged pair, or a direction
     swallowed by an orthogonalization) — zero it and flag it dead.
 
@@ -81,9 +95,9 @@ def _normalize_drop_pair(block, bblock, sqrt_eps, dead0=None):
     stable after convergence: a Gram-relative cutoff alone cannot tell a
     noise block from a live one (its Gram matrix has 100% rounding error
     but a perfectly fine condition number), and whitening such a block
-    manufactures columns of norm >> 1 that destroy the basis.
+    manufactures rows of norm >> 1 that destroy the basis.
 
-    Column scaling commutes with the operators, so the B-image follows
+    Row scaling commutes with the operators, so the B-image follows
     exactly."""
     norms = _bnorms(block, bblock)
     ref = jnp.maximum(jnp.max(norms), 1e-30)
@@ -91,15 +105,15 @@ def _normalize_drop_pair(block, bblock, sqrt_eps, dead0=None):
     if dead0 is not None:
         dead = dead | dead0
     safe = jnp.where(norms == 0, 1.0, norms).astype(block.real.dtype)
-    out = jnp.where(dead[None, :], 0.0, block / safe[None, :])
+    out = jnp.where(dead[:, None], 0.0, block / safe[:, None])
     bout = out if bblock is block else \
-        jnp.where(dead[None, :], 0.0, bblock / safe[None, :])
+        jnp.where(dead[:, None], 0.0, bblock / safe[:, None])
     return out, bout, dead
 
 
 def _whiten_pair(block, bblock, eps_rel, sqrt_eps, dead0=None):
-    """B-orthonormalize the columns of ``block`` (unit-B-normalized,
-    possibly with zeroed dead columns) by eigh-whitening of its B-Gram
+    """B-orthonormalize the rows of ``block`` (unit-B-normalized,
+    possibly with zeroed dead rows) by eigh-whitening of its B-Gram
     matrix; near-dependent directions are zeroed and flagged.
 
     Returns (whitened block, whitened B-image, dead mask (m,))."""
@@ -111,9 +125,11 @@ def _whiten_pair(block, bblock, eps_rel, sqrt_eps, dead0=None):
     dead_g = w <= cutoff
     inv = jnp.where(dead_g, 0.0, 1.0 / jnp.sqrt(jnp.where(dead_g, 1.0, w)))
     mix = v * inv[None, :]
-    bw = jnp.matmul(block, mix, precision=_HI)
-    bbw = bw if bblock is block else jnp.matmul(bblock, mix, precision=_HI)
-    # a correctly whitened column is unit up to rounding; anything that
+    # row blocks combine from the left: X_new = X mix  <=>  R_new = mixᵀ R
+    bw = jnp.matmul(mix.T, block, precision=_HI)
+    bbw = bw if bblock is block else jnp.matmul(mix.T, bblock,
+                                                precision=_HI)
+    # a correctly whitened row is unit up to rounding; anything that
     # is not was noise-dominated — run the scale test once more
     return _normalize_drop_pair(bw, bbw, sqrt_eps, dead0)
 
@@ -123,13 +139,13 @@ def _ortho_against_pair(block, basis, bbasis, *extra):
     B-orthonormal ``basis`` in the B-inner product (q = basisᴴ B block =
     (B basis)ᴴ block).  Any ``extra`` images of ``block`` (its tracked
     A/B-images) receive the same row operation exactly — matrix
-    application commutes with column combinations."""
+    application commutes with row combinations."""
     outs = list(extra)
     for _ in range(2):
         q = _gram(bbasis, block)
-        block = block - jnp.matmul(basis, q, precision=_HI)
+        block = block - jnp.matmul(q.T, basis, precision=_HI)
         for i, (img, bas_img) in enumerate(outs):
-            outs[i] = (img - jnp.matmul(bas_img, q, precision=_HI),
+            outs[i] = (img - jnp.matmul(q.T, bas_img, precision=_HI),
                        bas_img)
     if not extra:
         return block
@@ -153,6 +169,35 @@ def shard_operator(dm, mesh, axis='chips'):
     return dm
 
 
+def _rows_matmat(op, sharded):
+    """Adapt whatever operator form the caller gave to the row-layout
+    (m, n) -> (m, n) apply the iteration uses.
+
+    DIA matrices apply natively in row layout (and self-select the
+    sliding-window Pallas kernel at HBM-resident sizes) — except under
+    GSPMD sharding, where a pallas_call cannot be partitioned, so the
+    fused XLA kernel is pinned instead.  ELL/BSR/sharded operators and
+    bare column-layout callables are wrapped with transposes."""
+    if op is None:
+        return None
+    if hasattr(op, 'matmat_rows'):
+        if sharded and hasattr(op, 'offsets'):
+            from ..ops.spmm import _dia_matmat_rows
+
+            def apply_rows(v):
+                return _dia_matmat_rows(op.val, v, op.offsets)
+            return apply_rows
+        return op.matmat_rows
+    if hasattr(op, 'matmat_t'):
+        def apply_rows(v):
+            return op.matmat_t(v.T).T
+        return apply_rows
+
+    def apply_rows(v):
+        return op(v.T).T
+    return apply_rows
+
+
 def lobpcg(op, k, n=None, opB=None, precond=None, block_size=None,
            tol=1e-4, maxit=500, chunk=16, largest=False, x0=None,
            constraints=None, seed=1, dtype=np.float32, verb=0,
@@ -163,17 +208,18 @@ def lobpcg(op, k, n=None, opB=None, precond=None, block_size=None,
 
     Parameters
     ----------
-    op : object with ``matmat_t((n, m)) -> (n, m)`` (a device sparse
-        matrix from ops/spmm.py) or a jit-traceable callable.
+    op : object with ``matmat_rows((m, n)) -> (m, n)`` or
+        ``matmat_t((n, m)) -> (n, m)`` (a device sparse matrix from
+        ops/spmm.py) or a bare jit-traceable column-layout callable.
     k : number of wanted eigenpairs.
     n : problem dimension (required when ``op`` is a bare callable).
     opB : optional right-hand operator of a generalized problem
         A x = λ B x; B must be symmetric (Hermitian) positive definite.
         Same accepted forms as ``op``.  The returned eigenvectors are
         B-orthonormal.
-    precond : jit-traceable (n, m) -> (n, m) approximate inverse applied
-        to the residual block (e.g. ``Chebyshev._device_fused()``), or
-        None.
+    precond : jit-traceable row-layout (m, n) -> (m, n) approximate
+        inverse applied to the residual block (e.g.
+        ``Chebyshev._device_fused_rows()``), or None.
     block_size : iteration block m >= k (default: k + max(8, k//4)).
     tol : convergence on ||A x - lmd B x|| <= tol * anorm_est per wanted
         pair, anorm_est = running max |lmd| (scipy.lobpcg convention).
@@ -184,15 +230,16 @@ def lobpcg(op, k, n=None, opB=None, precond=None, block_size=None,
         iteration is deflated against their B-orthonormalized span, so
         the solver computes the *next* k pairs (warm restart, reference
         core/solver.py:112-114).
-    sharding : optional jax.sharding.Sharding for the (n, m) iteration
-        blocks (vector dimension sharded over the mesh); pair it with
+    sharding : optional jax.sharding.Sharding for (n, m) column blocks
+        (vector dimension sharded over the mesh) — the iteration
+        transposes it onto its internal (m, n) row layout; pair it with
         ``shard_operator`` so GSPMD partitions the whole superkernel.
 
     Returns (lmd (k,), x (n, k), resid (k,), niter, status) with status
     0 = converged, 2 = iteration limit (solver status convention,
     reference core/solver.py:305-331).
     """
-    matmat0 = op.matmat_t if hasattr(op, 'matmat_t') else op
+    matmat0 = _rows_matmat(op, sharding is not None)
 
     def matmat(v):
         # the operator (and preconditioner) may hold values in a different
@@ -202,7 +249,7 @@ def lobpcg(op, k, n=None, opB=None, precond=None, block_size=None,
         def matmat_b(v):
             return v
     else:
-        matmat_b0 = opB.matmat_t if hasattr(opB, 'matmat_t') else opB
+        matmat_b0 = _rows_matmat(opB, sharding is not None)
 
         def matmat_b(v):
             return matmat_b0(v).astype(v.dtype)
@@ -216,13 +263,22 @@ def lobpcg(op, k, n=None, opB=None, precond=None, block_size=None,
     sqrt_eps = float(np.sqrt(eps))
     sign = -1.0 if largest else 1.0
 
+    if sharding is not None:
+        # callers hand the column-block sharding ((n, m) with n
+        # partitioned); the internal row layout needs its transpose
+        from jax.sharding import NamedSharding, PartitionSpec
+        spec = tuple(sharding.spec)
+        spec = spec + (None,) * (2 - len(spec))
+        sharding = NamedSharding(sharding.mesh,
+                                 PartitionSpec(spec[1], spec[0]))
+
     if precond is None:
         def precond(w):
             return w
 
     # ---- constraints: B-orthonormalize once, precompute A/B-images -----
     if constraints is not None and np.size(constraints) > 0:
-        y = jnp.asarray(constraints, dtype=dtype)
+        y = jnp.asarray(constraints, dtype=dtype).T
         if sharding is not None:
             y = jax.device_put(y, sharding)
         by0 = matmat_b(y)
@@ -231,7 +287,7 @@ def lobpcg(op, k, n=None, opB=None, precond=None, block_size=None,
         ay = matmat(y)
         by = matmat_b(y)
     else:
-        y = jnp.zeros((n, 0), dtype=dtype)
+        y = jnp.zeros((0, n), dtype=dtype)
         ay = by = y
 
     @partial(jax.jit, static_argnames=('iters',))
@@ -244,20 +300,20 @@ def lobpcg(op, k, n=None, opB=None, precond=None, block_size=None,
             # Rayleigh-Ritz optimization, so the leak must be reset to
             # rounding level each step
             q = _gram(by, x)
-            x = x - jnp.matmul(y, q, precision=_HI)
-            ax = ax - jnp.matmul(ay, q, precision=_HI)
+            x = x - jnp.matmul(q.T, y, precision=_HI)
+            ax = ax - jnp.matmul(q.T, ay, precision=_HI)
             if opB is not None:
-                bx = bx - jnp.matmul(by, q, precision=_HI)
+                bx = bx - jnp.matmul(q.T, by, precision=_HI)
             else:
                 bx = x
-            lam = jnp.einsum('nm,nm->m', x.conj(), ax,
+            lam = jnp.einsum('mn,mn->m', x.conj(), ax,
                              precision=_HI).real
             anorm = jnp.maximum(anorm, jnp.max(jnp.abs(lam)))
-            w = ax - bx * lam[None, :].astype(x.dtype)
+            w = ax - lam[:, None].astype(x.dtype) * bx
             w = precond(w).astype(w.dtype)
             # hierarchical B-orthonormalization: X is B-orthonormal;
             # W ⊥_B Y, X; P ⊥_B Y, X, W.  Dead (noise or rank-deficient)
-            # columns are zeroed and masked out of the Rayleigh-Ritz
+            # rows are zeroed and masked out of the Rayleigh-Ritz
             # selection.
             w, _, dead_w = _normalize_drop_pair(w, w, sqrt_eps)
             w = _ortho_against_pair(w, y, by)
@@ -275,13 +331,13 @@ def lobpcg(op, k, n=None, opB=None, precond=None, block_size=None,
             p, bp, dead_p = _normalize_drop_pair(p, bp, sqrt_eps, dead_p)
             p, bp, dead_p = _whiten_pair(p, bp, eps_rel, sqrt_eps, dead_p)
             ap = matmat(p)
-            s = jnp.concatenate((x, w, p), axis=1)
-            a_s = jnp.concatenate((ax, aw, ap), axis=1)
+            s = jnp.concatenate((x, w, p), axis=0)
+            a_s = jnp.concatenate((ax, aw, ap), axis=0)
             h = _gram(s, a_s)
             h = 0.5 * (h + h.conj().T) * sign
             dead = jnp.concatenate(
                 (jnp.zeros((m,), bool), dead_w, dead_p))
-            # push dead (zeroed) basis columns past the live spectrum so
+            # push dead (zeroed) basis rows past the live spectrum so
             # the Ritz selection never picks them.  The live spectrum of
             # the (3m x 3m) Gram of a B-orthonormal basis is bounded by
             # 3m * max|diag| (Cauchy-Schwarz on a PSD pencil), so a
@@ -289,20 +345,20 @@ def lobpcg(op, k, n=None, opB=None, precond=None, block_size=None,
             # it the O(eps*||h||) backward error of a float32 eigh — by
             # only ~1e2 instead of the 1e4 that used to stall f32 runs
             big = (jnp.max(jnp.abs(jnp.diagonal(h))) + 1.0) * \
-                (4.0 * s.shape[1])
+                (4.0 * s.shape[0])
             h = h + jnp.diag(jnp.where(dead, big, 0.0).astype(h.dtype))
             vals, c = _eigh_small(h)
             cm = c[:, :m]
-            xn = jnp.matmul(s, cm, precision=_HI)
-            axn = jnp.matmul(a_s, cm, precision=_HI)
+            xn = jnp.matmul(cm.T, s, precision=_HI)
+            axn = jnp.matmul(cm.T, a_s, precision=_HI)
             # conjugate directions: the W/P components of the update
             cwp = cm.at[:m, :].set(0)
-            pn = jnp.matmul(s, cwp, precision=_HI)
-            apn = jnp.matmul(a_s, cwp, precision=_HI)
+            pn = jnp.matmul(cwp.T, s, precision=_HI)
+            apn = jnp.matmul(cwp.T, a_s, precision=_HI)
             if opB is not None:
-                b_s = jnp.concatenate((bx, bw, bp), axis=1)
-                bxn = jnp.matmul(b_s, cm, precision=_HI)
-                bpn = jnp.matmul(b_s, cwp, precision=_HI)
+                b_s = jnp.concatenate((bx, bw, bp), axis=0)
+                bxn = jnp.matmul(cm.T, b_s, precision=_HI)
+                bpn = jnp.matmul(cwp.T, b_s, precision=_HI)
             else:
                 bxn, bpn = xn, pn
             return xn, axn, bxn, pn, apn, bpn, anorm
@@ -312,28 +368,28 @@ def lobpcg(op, k, n=None, opB=None, precond=None, block_size=None,
         # chunk exit: re-deflate and refresh the images so the host's
         # convergence decision sees trustworthy residuals
         q = _gram(by, x)
-        x = x - jnp.matmul(y, q, precision=_HI)
+        x = x - jnp.matmul(q.T, y, precision=_HI)
         ax = matmat(x)
         bx = matmat_b(x)
-        lam = jnp.einsum('nm,nm->m', x.conj(), ax,
+        lam = jnp.einsum('mn,mn->m', x.conj(), ax,
                          precision=_HI).real
         anorm = jnp.maximum(anorm, jnp.max(jnp.abs(lam)))
-        r = ax - bx * lam[None, :].astype(x.dtype)
-        resid = jnp.linalg.norm(r, axis=0)
+        r = ax - lam[:, None].astype(x.dtype) * bx
+        resid = jnp.linalg.norm(r, axis=1)
         order = jnp.argsort(sign * lam)
-        return x[:, order], ax[:, order], bx[:, order], p, ap, bp, anorm, \
+        return x[order], ax[order], bx[order], p, ap, bp, anorm, \
             lam[order], resid[order]
 
     # ---- initial block -----------------------------------------------
     if x0 is not None:
-        x = jnp.asarray(x0, dtype=dtype)[:, :m]
-        if x.shape[1] < m:
+        x = jnp.asarray(x0, dtype=dtype).T[:m]
+        if x.shape[0] < m:
             key = jax.random.PRNGKey(seed)
             x = jnp.concatenate(
-                (x, jax.random.normal(key, (n, m - x.shape[1]), dtype)),
-                axis=1)
+                (x, jax.random.normal(key, (m - x.shape[0], n), dtype)),
+                axis=0)
     else:
-        x = jax.random.normal(jax.random.PRNGKey(seed), (n, m), dtype)
+        x = jax.random.normal(jax.random.PRNGKey(seed), (m, n), dtype)
     if sharding is not None:
         x = jax.device_put(x, sharding)
     x = _ortho_against_pair(x, y, by)
@@ -349,8 +405,8 @@ def lobpcg(op, k, n=None, opB=None, precond=None, block_size=None,
 
     # initial observability (also the rollback target if the very first
     # chunk degenerates)
-    lam0 = jnp.einsum('nm,nm->m', x.conj(), ax, precision=_HI).real
-    r0 = jnp.linalg.norm(ax - bx * lam0[None, :].astype(x.dtype), axis=0)
+    lam0 = jnp.einsum('mn,mn->m', x.conj(), ax, precision=_HI).real
+    r0 = jnp.linalg.norm(ax - lam0[:, None].astype(x.dtype) * bx, axis=1)
     lam_h, resid_h = jax.device_get((lam0, r0))
     anorm_h = float(np.max(np.abs(lam_h)))
 
@@ -402,5 +458,5 @@ def lobpcg(op, k, n=None, opB=None, precond=None, block_size=None,
         else:
             stall = 0
         best = min(best, rmax)
-    return (np.asarray(lam_h[:k]), np.asarray(x[:, :k]),
+    return (np.asarray(lam_h[:k]), np.asarray(x[:k].T),
             np.asarray(resid_h[:k]), niter, status)

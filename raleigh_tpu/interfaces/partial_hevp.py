@@ -202,7 +202,7 @@ def _device_path(A, B, T, which, tol, verb, opt, arch):
     dev = opA.device_matrix()
     devB = (SparseSymmetricMatrix(B, arch=arch).device_matrix()
             if B is not None else None)
-    precond = T._device_fused() if T is not None else None
+    precond = T._device_fused_rows() if T is not None else None
     maxit = getattr(opt, 'max_iter', -1)
     if maxit is None or maxit < 0:
         maxit = 600

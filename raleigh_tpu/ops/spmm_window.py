@@ -37,8 +37,145 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def build_dia_window_matmat(offsets, val, n, m, tile=32768,
-                            interpret=False):
+def build_dia_window_ring(offsets, val, n, m, tile=32768,
+                          interpret=False):
+    """Ring-window variant: two alternating (m, T+H) VMEM windows, each
+    assembled entirely by async DMAs — the next window's body streams from
+    HBM while its H-lane halo is a local VMEM DMA of the current window's
+    tail.  Nothing but the diagonal multiply-adds is serial per grid
+    step, unlike the slide variant below whose (m, T) stage->window VMEM
+    copy runs on the VPU between compute steps.
+
+    Same contract and constraints as ``build_dia_window_slide``.
+    """
+    offsets = tuple(int(o) for o in offsets)
+    noff = len(offsets)
+    lo = max(0, -min(offsets))
+    hi = max(0, max(offsets))
+    halo_lo = -(-lo // 128) * 128
+    halo_hi = -(-hi // 128) * 128
+    H = halo_lo + halo_hi
+    T = -(-max(tile, H) // 128) * 128
+    if n % 128:
+        raise ValueError('window kernel needs n %% 128 == 0 (got %d)' % n)
+    npad = -(-n // T) * T
+    nsteps = npad // T
+    if nsteps < 2:
+        raise ValueError('problem too small for the window kernel; '
+                         'use the fused XLA path')
+    vp = np.zeros((noff, npad), np.float32)
+    vp[:, :n] = np.asarray(val, dtype=np.float32)
+    val_p = jnp.asarray(vp)
+
+    # window s covers global lanes [sT - halo_lo, sT + T + halo_hi); the
+    # body chunk DMA'd from HBM for it is [sT + halo_hi, sT + halo_hi + T)
+    # clipped at n (its first H lanes overlap window s-1's tail, which
+    # arrives by local VMEM DMA instead)
+    def chunk_range(s):
+        g0 = s * T + halo_hi
+        return g0, max(0, min(T, n - g0))
+
+    w0 = min(T + halo_hi, n)        # valid width of the initial window
+
+    def kern(x_hbm, val_ref, y_ref, wa, wb, sems):
+        i = pl.program_id(0)
+
+        def hbm_dma(s, wv, w):
+            # a DMA semaphore completes by transfer extent: every wait
+            # reconstructs EXACTLY this descriptor shape
+            return pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(s * T + halo_hi, wv)],
+                w.at[:, pl.ds(H, wv)], sems.at[s % 2])
+
+        def halo_dma(src, dst, s):
+            return pltpu.make_async_copy(
+                src.at[:, pl.ds(T, H)], dst.at[:, pl.ds(0, H)],
+                sems.at[2 + s % 2])
+
+        @pl.when(i == 0)
+        def _():
+            if w0 < T + halo_hi:
+                # short first window: zero it whole (lane-aligned store)
+                # before the partial DMA lands
+                wa[...] = jnp.zeros((m, T + H), wa.dtype)
+            else:
+                wa[:, 0:halo_lo] = jnp.zeros((m, halo_lo), wa.dtype)
+            cp = pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(0, w0)],
+                wa.at[:, pl.ds(halo_lo, w0)], sems.at[4])
+            cp.start()
+            cp.wait()
+
+        # wait this step's window fills (both DMAs started at step i-1)
+        for s in range(1, nsteps):
+            wv = chunk_range(s)[1]
+
+            @pl.when(i == s)
+            def _(s=s, wv=wv):
+                w, other = (wb, wa) if s % 2 else (wa, wb)
+                if wv > 0:
+                    hbm_dma(s, wv, w).wait()
+                halo_dma(other, w, s).wait()
+
+        # launch the fills for window i+1 before computing tile i: the
+        # HBM stream and the halo copy both overlap this tile's compute
+        for s in range(1, nsteps):
+            wv = chunk_range(s)[1]
+
+            @pl.when(i + 1 == s)
+            def _(s=s, wv=wv):
+                w, other = (wb, wa) if s % 2 else (wa, wb)
+                if wv < T:
+                    # zero the body before a partial (or empty) DMA lands
+                    # so lanes beyond n read as exact zeros
+                    w[:, H:H + T] = jnp.zeros((m, T), w.dtype)
+                if wv > 0:
+                    hbm_dma(s, wv, w).start()
+                halo_dma(other, w, s).start()
+
+        def compute(w):
+            acc = val_ref[0][None, :] * w[:, halo_lo + offsets[0]:
+                                          halo_lo + offsets[0] + T]
+            for k in range(1, noff):
+                off = offsets[k]
+                acc = acc + val_ref[k][None, :] * w[:, halo_lo + off:
+                                                    halo_lo + off + T]
+            y_ref[:, :] = acc
+
+        @pl.when(i % 2 == 0)
+        def _():
+            compute(wa)
+
+        @pl.when(i % 2 == 1)
+        def _():
+            compute(wb)
+
+    call = pl.pallas_call(
+        kern,
+        grid=(nsteps,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((noff, T), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((m, T), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((m, T + H), jnp.float32),
+                        pltpu.VMEM((m, T + H), jnp.float32),
+                        pltpu.SemaphoreType.DMA((5,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def apply(x):
+        return call(x, val_p)
+
+    return apply
+
+
+def build_dia_window_slide(offsets, val, n, m, tile=32768,
+                           interpret=False):
     """Compile a (m, n) -> (m, n) DIA SpMM with a sliding VMEM window.
 
     ``offsets``: static diagonal offsets; ``val``: (noff, n) diagonal
@@ -151,7 +288,7 @@ def build_dia_window_matmat(offsets, val, n, m, tile=32768,
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((m, T), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, npad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         scratch_shapes=[pltpu.VMEM((m, T + H), jnp.float32),
                         pltpu.VMEM((2, m, T), jnp.float32),
                         pltpu.SemaphoreType.DMA((3,))],
@@ -162,6 +299,11 @@ def build_dia_window_matmat(offsets, val, n, m, tile=32768,
 
     @jax.jit
     def apply(x):
-        return call(x, val_p)[:, :n]
+        return call(x, val_p)
 
     return apply
+
+
+# production alias consumed by DiaMatrix.matmat_rows_window /
+# window_padded_fn; both variants share its contract
+build_dia_window_matmat = build_dia_window_ring

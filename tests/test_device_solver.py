@@ -161,13 +161,13 @@ def test_lobpcg_preconditioned_and_f32(lap):
     lo, hi = spectral_bounds(a)
     ch = Chebyshev(a, hi * 1e-4, hi, degree=10, arch='tpu')
     dm = device_sparse(a, dtype=np.float64)
-    lam, x, r, it0, st = lobpcg(dm, 6, precond=ch._device_fused(),
+    lam, x, r, it0, st = lobpcg(dm, 6, precond=ch._device_fused_rows(),
                                 tol=1e-8, maxit=300, dtype=np.float64)
     assert st == 0
     assert np.abs(lam - exact[:6]).max() < 1e-5
 
     dm32 = device_sparse(a, dtype=np.float32)
-    lam, x, r, it, st = lobpcg(dm32, 6, precond=ch._device_fused(),
+    lam, x, r, it, st = lobpcg(dm32, 6, precond=ch._device_fused_rows(),
                                tol=1e-4, maxit=300, dtype=np.float32)
     assert st == 0
     assert np.abs(lam - exact[:6]).max() / exact[5] < 1e-3

@@ -183,7 +183,7 @@ def test_sharded_preconditioned_lobpcg():
                         axis=AXIS)
     ch = Chebyshev(a, hi * 1e-4, hi, degree=10, arch='tpu')
     lam, x, r, it, st = lobpcg(
-        dm, 5, precond=ch._device_fused(), tol=1e-8, maxit=300,
+        dm, 5, precond=ch._device_fused_rows(), tol=1e-8, maxit=300,
         dtype=np.float64,
         sharding=NamedSharding(make_mesh(8), P(AXIS, None)))
     assert st == 0
