@@ -7,14 +7,22 @@ At HBM-resident sizes (n ~ 1e6+, operand >> VMEM) the fused stencil
 re-reads each shifted operand window as a separate pass (~4x x-traffic)
 and collapses to ~156 GB/s on a ~656 GB/s-stream device.
 
-This kernel removes the re-reads: x is read from HBM exactly once
-through a sliding VMEM window — each grid step computes one lane-tile
-of the output from the window, slides it by T lanes (VMEM copy of the
-halo), and DMAs only the T new lanes, double-buffered through a staging
-slot so the fetch overlaps the current tile's compute.  The diagonal
-shifts become static lane-dim slices of the window.  Measured on a v5e:
-~390 GB/s effective at n = 110k (vs the same chain's HBM floor), where
-the fused XLA kernel reads x once per diagonal.
+These kernels remove the re-reads: x is read from HBM exactly once
+through a windowed VMEM stream — each grid step computes one lane-tile
+of the output from a (T+H)-lane window, and only T new lanes are DMA'd
+per step, overlapped with compute.  The diagonal shifts become static
+lane-dim slices of the window.  Two variants share the contract:
+
+  * ``build_dia_window_ring`` (production): two alternating windows,
+    each assembled entirely by async DMAs (HBM body + local VMEM halo
+    copy); nothing but the multiply-adds is serial per step.
+  * ``build_dia_window_slide``: one window slid by a per-step VPU copy
+    from a double-buffered staging tile (kept as the reference
+    implementation and for A/B measurement).
+
+Measured on a v5e at n = 1.28e6 (lap3d 100x100x128, m = 32, tile 32k):
+ring 343 GB/s effective vs slide 331 GB/s vs fused XLA 156 GB/s, against
+a ~656 GB/s measured stream roofline (see STATUS.md roofline note).
 
 Constraints (host-side asserts, so the Mosaic compiler never sees an
 invalid kernel): row-vector (m, n) operand layout, n a multiple of 128
@@ -98,7 +106,7 @@ def build_dia_window_ring(offsets, val, n, m, tile=32768,
                 # short first window: zero it whole (lane-aligned store)
                 # before the partial DMA lands
                 wa[...] = jnp.zeros((m, T + H), wa.dtype)
-            else:
+            elif halo_lo > 0:
                 wa[:, 0:halo_lo] = jnp.zeros((m, halo_lo), wa.dtype)
             cp = pltpu.make_async_copy(
                 x_hbm.at[:, pl.ds(0, w0)],
@@ -115,7 +123,8 @@ def build_dia_window_ring(offsets, val, n, m, tile=32768,
                 w, other = (wb, wa) if s % 2 else (wa, wb)
                 if wv > 0:
                     hbm_dma(s, wv, w).wait()
-                halo_dma(other, w, s).wait()
+                if H > 0:
+                    halo_dma(other, w, s).wait()
 
         # launch the fills for window i+1 before computing tile i: the
         # HBM stream and the halo copy both overlap this tile's compute
@@ -131,7 +140,8 @@ def build_dia_window_ring(offsets, val, n, m, tile=32768,
                     w[:, H:H + T] = jnp.zeros((m, T), w.dtype)
                 if wv > 0:
                     hbm_dma(s, wv, w).start()
-                halo_dma(other, w, s).start()
+                if H > 0:
+                    halo_dma(other, w, s).start()
 
         def compute(w):
             acc = val_ref[0][None, :] * w[:, halo_lo + offsets[0]:
