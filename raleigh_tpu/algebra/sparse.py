@@ -295,9 +295,17 @@ class Chebyshev:
     preconditioner: every application is ``degree`` SpMMs that run entirely
     on device (no host round-trips, no triangular solves)."""
 
-    def __init__(self, matrix, lo, hi, degree=8, arch='cpu'):
+    def __init__(self, matrix, lo, hi, degree=8, arch='cpu',
+                 device_matrix=None):
+        """``device_matrix`` (optional): a prebuilt device sparse matrix
+        (ops/spmm.py) the fused recurrences should use instead of building
+        their own — REQUIRED for GSPMD-sharded runs, where the
+        preconditioner must close over the same sharded payload as the
+        operator (``core.device_solver.shard_operator``) so its SpMM
+        routing sees the mesh placement and pins partitionable kernels."""
         self.__op = (matrix if isinstance(matrix, SparseSymmetricMatrix)
                      else SparseSymmetricMatrix(matrix, arch=arch))
+        self.__dev_override = device_matrix
         self.lo = float(lo)
         self.hi = float(hi)
         self.degree = int(degree)
@@ -311,7 +319,7 @@ class Chebyshev:
         tunneled devices where each dispatch costs ~1 ms)."""
         if self.__fused is not None:
             return self.__fused
-        dev = self.__op.device_matrix()
+        dev = self.__dev_override or self.__op.device_matrix()
         theta = 0.5 * (self.hi + self.lo)
         delta = 0.5 * (self.hi - self.lo)
         sigma1 = theta / delta
@@ -348,7 +356,7 @@ class Chebyshev:
         zero-padded diagonals keep the pad lanes zero throughout)."""
         if self.__fused_rows is not None:
             return self.__fused_rows
-        dev = self.__op.device_matrix()
+        dev = self.__dev_override or self.__op.device_matrix()
         theta = 0.5 * (self.hi + self.lo)
         delta = 0.5 * (self.hi - self.lo)
         sigma1 = theta / delta

@@ -267,6 +267,11 @@ def lobpcg(op, k, n=None, opB=None, precond=None, block_size=None,
         # callers hand the column-block sharding ((n, m) with n
         # partitioned); the internal row layout needs its transpose
         from jax.sharding import NamedSharding, PartitionSpec
+        if not isinstance(sharding, NamedSharding):
+            raise TypeError(
+                'lobpcg needs a NamedSharding for its column blocks (got '
+                '%s); build one with parallel.mesh.blockvec_sharding'
+                % type(sharding).__name__)
         spec = tuple(sharding.spec)
         spec = spec + (None,) * (2 - len(spec))
         sharding = NamedSharding(sharding.mesh,

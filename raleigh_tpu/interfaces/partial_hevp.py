@@ -141,7 +141,7 @@ def partial_hevp(A, B=None, T=None, buckling=False, sigma=0, which=6,
         if (engine in ('auto', 'device')
                 and not isinstance(which, tuple)
                 and str(arch).lower().startswith(('tpu', 'gpu', 'jax'))
-                and (T is None or hasattr(T, '_device_fused'))):
+                and (T is None or hasattr(T, '_device_fused_rows'))):
             return _device_path(A, B, T, which, tol, verb, opt, arch)
         if engine == 'device':
             raise ValueError("engine='device' needs an integer which, a"

@@ -98,7 +98,7 @@ class DiaMatrix:
         back to the fused XLA kernel when the window constraints don't
         hold (small n, unaligned n, non-f32)."""
         m, n = x.shape
-        key = (m, tile, bool(interpret))
+        key = (m, n, tile, bool(interpret))
         fn = self._window_cache.get(key) if hasattr(
             self, '_window_cache') else None
         if fn is None:
@@ -121,6 +121,15 @@ class DiaMatrix:
     # HBM-regime roofline note)
     WINDOW_HBM_BYTES = 112 * 2 ** 20
 
+    def _multi_device(self):
+        """True when the diagonal values are sharded over several devices
+        (``core.device_solver.shard_operator``): a bare pallas_call cannot
+        be GSPMD-partitioned, so every routing decision below must pin the
+        fused XLA kernel — for the operator AND for anything that closes
+        over it (e.g. the Chebyshev preconditioner's fused recurrence)."""
+        sh = getattr(self.val, 'sharding', None)
+        return sh is not None and len(sh.device_set) > 1
+
     def matmat_rows(self, x, tile=32768):
         """(m, n) = ((m, n) @ A) for row-vector operand blocks — the
         layout the block-vector algebra stores (vectors as rows), so no
@@ -134,6 +143,7 @@ class DiaMatrix:
         if (ws > self.WINDOW_HBM_BYTES and n % 128 == 0
                 and x.dtype == jnp.float32
                 and self.val.dtype == jnp.float32
+                and not self._multi_device()
                 and -(-n // max(tile, 128)) >= 2):
             return self.matmat_rows_window(x, tile=tile)
         return _dia_matmat_rows(self.val, x, self.offsets)
@@ -151,7 +161,8 @@ class DiaMatrix:
         n = self.shape[0]
         noff = len(self.offsets)
         if ((2 * m + noff) * n * 4 <= self.WINDOW_HBM_BYTES
-                or self.val.dtype != jnp.float32):
+                or self.val.dtype != jnp.float32
+                or self._multi_device()):
             return None
         n128 = -(-n // 128) * 128
         key = ('padded', m, tile, bool(interpret))

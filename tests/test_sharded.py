@@ -181,10 +181,39 @@ def test_sharded_preconditioned_lobpcg():
     from raleigh_tpu.parallel.mesh import AXIS
     dm = shard_operator(device_sparse(a, dtype=np.float64), mesh,
                         axis=AXIS)
-    ch = Chebyshev(a, hi * 1e-4, hi, degree=10, arch='tpu')
+    # the preconditioner closes over the SAME sharded payload as the
+    # operator, so its SpMM routing sees the mesh placement (advisor r3)
+    ch = Chebyshev(a, hi * 1e-4, hi, degree=10, device_matrix=dm)
     lam, x, r, it, st = lobpcg(
         dm, 5, precond=ch._device_fused_rows(), tol=1e-8, maxit=300,
         dtype=np.float64,
         sharding=NamedSharding(make_mesh(8), P(AXIS, None)))
     assert st == 0
     assert np.abs(lam - exact[:5]).max() / exact[4] < 1e-6
+
+
+def test_sharded_dia_never_routes_to_pallas(monkeypatch):
+    """A GSPMD-sharded DIA operator must pin the fused XLA kernel whatever
+    the working-set size (a bare pallas_call cannot be partitioned) — and
+    so must a Chebyshev preconditioner sharing the sharded payload."""
+    import jax.numpy as jnp
+    from raleigh_tpu.parallel.mesh import make_mesh, AXIS
+    from raleigh_tpu.core.device_solver import shard_operator
+    from raleigh_tpu.ops.spmm import DiaMatrix
+    from raleigh_tpu.algebra.sparse import Chebyshev, spectral_bounds
+    from raleigh_tpu.examples.laplace import lap1d
+
+    a = lap1d(1280, 1.0)
+    monkeypatch.setattr(DiaMatrix, 'WINDOW_HBM_BYTES', 0)
+    mesh = make_mesh(8)
+    dm = shard_operator(DiaMatrix(a), mesh, axis=AXIS)
+    x = np.random.RandomState(3).randn(4, 1280).astype(np.float32)
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(None, AXIS)))
+    y = np.asarray(dm.matmat_rows(xs, tile=128))
+    ref = (a @ x.T).T
+    assert np.abs(y - ref).max() <= 1e-4 * np.abs(ref).max()
+    assert dm.window_padded_fn(4, tile=128) is None
+    lo, hi = spectral_bounds(a)
+    ch = Chebyshev(a, lo, hi, degree=4, device_matrix=dm)
+    z = np.asarray(ch._device_fused_rows()(xs))
+    assert np.all(np.isfinite(z)) and z.shape == x.shape
