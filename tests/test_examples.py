@@ -114,3 +114,70 @@ def test_pca_update_past_full_rank():
     assert ef < 0.06
     g = comps @ comps.conj().T
     assert np.abs(g - np.eye(len(g))).max() < 1e-8
+
+
+def _write_synthetic_faces(root, npeople=3, per_person=2, h=25, w=20):
+    """Tiny LFW-style tree: per-person folders of RGB images with a
+    bright centered 'face' blob on a textured background."""
+    from PIL import Image
+
+    rng = np.random.RandomState(7)
+    y, x = np.mgrid[:h, :w]
+    for p in range(npeople):
+        d = root / ('person_%d' % p)
+        d.mkdir()
+        for i in range(per_person):
+            blob = 200.0 * np.exp(-(((x - w / 2 - p) / (w / 4)) ** 2
+                                    + ((y - h / 2) / (h / 3)) ** 2))
+            img = blob + 40.0 * rng.rand(h, w)
+            rgb = np.stack([img, img, img], axis=-1).astype(np.uint8)
+            Image.fromarray(rgb).save(str(d / ('%04d.png' % i)))
+    return npeople * per_person
+
+
+def test_convert_images_pipeline(tmp_path):
+    """The LFW-converter equivalent (reference convert_lfw.py:4-80) on
+    synthetic images: grayscale + passport crop, off-face masking,
+    mirror doubling, and symmetry selection semantics."""
+    from raleigh_tpu.examples import convert_images as ci
+
+    n = _write_synthetic_faces(tmp_path)
+    images, names = ci.convert_images(str(tmp_path), double=True,
+                                      off_face=0.0)
+    assert images.shape[0] == 2 * n and images.dtype == np.float32
+    # passport crop: central 90% x 70% of the 25x20 originals
+    assert images.shape[1:] == (int(25 * 0.9), int(20 * 0.7))
+    # mirror interleave: odd entries are the flipped even ones
+    assert np.array_equal(images[1], images[0][:, ::-1])
+    assert names[0] == names[1] == 'person_0'
+    # off_face=0.0 erases the background to the stack minimum
+    mask = ci.face_mask(*images.shape[1:])
+    assert np.all(images[0][mask] == images.min())
+    # asymmetry of a mirror pair is identical; selection keeps the most
+    # symmetric images first
+    a = ci.asymmetry(images)
+    assert np.allclose(a[0::2], a[1::2])
+    keep = ci.select_symmetric(images, 4.0)       # 4 most symmetric
+    assert len(keep) == 4
+    keep_all = ci.select_symmetric(images, 1.0 - 1e-12)
+    assert len(keep_all) >= len(keep)
+
+
+def test_convert_images_cli(tmp_path, monkeypatch):
+    """End-to-end CLI: writes images.npy/names.txt (+ photos.npy on
+    asymmetry selection) consumable by examples/eigenimages.py."""
+    from raleigh_tpu.examples import convert_images as ci
+
+    n = _write_synthetic_faces(tmp_path, npeople=2, per_person=2)
+    out = tmp_path / 'out'
+    out.mkdir()
+    monkeypatch.chdir(out)
+    rc = ci.main([str(tmp_path), '-o', 'images.npy', '-f', '0.5',
+                  '-s', '-2.0', '-m', '3'])
+    assert rc == 0
+    images = np.load('images.npy')
+    assert images.shape[0] == 3                   # -m 3 honored
+    with open('names.txt') as f:
+        assert len(f.read().split()) == 3
+    photos = np.load('photos.npy')
+    assert 1 <= photos.shape[0] <= 3
