@@ -122,6 +122,25 @@ def _k_dots(a, fa, b, fb, k, B):
     return jnp.einsum('ij,ij->i', _cj(wb), wa)
 
 
+@partial(jax.jit, static_argnames=('Ba', 'Bb'))
+def _k_gram_comp(a, fa, ka, Ba, b, fb, kb, Bb):
+    # compensated twin of _k_gram: the Gram contraction as a double-f32
+    # (sum, err) pair via exact-product slicing (ops/compensated.py) —
+    # the d/z accuracy option on f32-only device hardware
+    from ..ops.compensated import comp_matmul_pair
+    wa = _win(a, fa, Ba) * _rowmask(Ba, ka, a.dtype)
+    wb = _win(b, fb, Bb) * _rowmask(Bb, kb, b.dtype)
+    return comp_matmul_pair(_cj(wb), wa.T)
+
+
+@partial(jax.jit, static_argnames=('B',))
+def _k_dots_comp(a, fa, b, fb, k, B):
+    from ..ops.compensated import comp_dots_pair
+    wa = _win(a, fa, B) * _rowmask(B, k, a.dtype)
+    wb = _win(b, fb, B) * _rowmask(B, k, b.dtype)
+    return comp_dots_pair(wa, wb)
+
+
 @partial(jax.jit, static_argnames=('B',))
 def _k_dots_t(a, fa, b, fb, k, B):
     wa = _win(a, fa, B)
@@ -352,11 +371,18 @@ class Vectors:
     """Selectable window over a block of row-vectors, jax.Array storage."""
 
     def __init__(self, arg, nvec=0, data_type=None, shallow=False,
-                 sharding=None):
+                 sharding=None, compensated=False):
+        """``compensated=True`` routes the Gram reductions (`dot`, and
+        `dots` without transp) through the exact-product double-f32
+        scheme of ops/compensated.py and returns them in float64 — the
+        accuracy option for d/z workloads on f32-only device hardware
+        (real TPUs have no f64 ALU; see STATUS.md "d/z on TPU")."""
         self._sharding = sharding
+        self._comp = bool(compensated)
         if isinstance(arg, Vectors):
             f, k = arg.selected()
             self._sharding = arg._sharding
+            self._comp = arg._comp
             self._array = _grow(_k_read(arg._array, f, k, bucket(k))
                                 [:bucket(k)], capacity_for(k),
                                 self._sharding)
@@ -440,11 +466,13 @@ class Vectors:
             if a.dtype != self._array.dtype and (
                     jnp.iscomplexobj(self._array) == jnp.iscomplexobj(a)):
                 a = a.astype(self._array.dtype)
-            v = Vectors(a, sharding=self._sharding)
+            v = Vectors(a, sharding=self._sharding,
+                        compensated=self._comp)
             return v
         if dim is None:
             dim = self.dimension()
-        return Vectors(dim, arg, self.data_type(), sharding=self._sharding)
+        return Vectors(dim, arg, self.data_type(), sharding=self._sharding,
+                       compensated=self._comp)
 
     def clone(self):
         return Vectors(self)
@@ -541,6 +569,14 @@ class Vectors:
             coef = _padv(sv, B, dt)
         self._array = _k_scale(self._array, f, k, B, coef, multiply)
 
+    def _comp_active(self, other, keep):
+        """Compensated reductions apply to fetched results of 4/8-byte
+        (f32/c64) storage: device-kept consumers stay on the plain f32
+        path, and true-f64 storage (x64 CPU runs) needs no help."""
+        return ((self._comp or getattr(other, '_comp', False))
+                and not keep
+                and self._array.dtype in (jnp.float32, jnp.complex64))
+
     def dots(self, other, transp=False, keep=False):
         k = self.nvec()
         B = bucket(k)
@@ -548,6 +584,11 @@ class Vectors:
             r = _k_dots_t(self._array, self._sel[0],
                           other._array, other._sel[0], k, B)
             return r if keep else np.asarray(r)
+        if self._comp_active(other, keep):
+            from ..ops.compensated import to_float64
+            return to_float64(_k_dots_comp(
+                self._array, self._sel[0], other._array, other._sel[0],
+                k, B))[:k]
         r = _k_dots(self._array, self._sel[0],
                     other._array, other._sel[0], k, B)
         # kept results stay bucket-padded on device (zeros beyond k)
@@ -555,6 +596,11 @@ class Vectors:
 
     def dot(self, other, keep=False):
         ka, kb = self.nvec(), other.nvec()
+        if self._comp_active(other, keep):
+            from ..ops.compensated import to_float64
+            return to_float64(_k_gram_comp(
+                self._array, self._sel[0], ka, bucket(ka),
+                other._array, other._sel[0], kb, bucket(kb)))[:kb, :ka]
         r = _k_gram(self._array, self._sel[0], ka, bucket(ka),
                     other._array, other._sel[0], kb, bucket(kb))
         return r if keep else np.asarray(r)[:kb, :ka]

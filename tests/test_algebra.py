@@ -203,3 +203,40 @@ def test_sharded_vectors_match_single():
     us.add(vs, -2.0)
     u.add(v, -2.0)
     assert np.allclose(us.data(), u.data(), atol=1e-5)
+
+
+def test_compensated_gram_accuracy():
+    """The d/z-on-TPU accuracy option (STATUS.md): f32 storage with
+    compensated Gram reductions recovers ~f64 dot products — the pinned
+    bound is 1e-10 relative against a float64 oracle at n = 200k, where
+    the plain f32 contraction carries ~1e-6."""
+    from raleigh_tpu.algebra import dense_jax
+
+    rng = np.random.RandomState(5)
+    m, n = 6, 200000
+    a64 = rng.standard_normal((m, n)) * np.exp(rng.standard_normal((m, n)))
+    b64 = rng.standard_normal((m, n))
+    a32, b32 = a64.astype(np.float32), b64.astype(np.float32)
+    oracle = b32.astype(np.float64) @ a32.astype(np.float64).T
+
+    va = dense_jax.Vectors(a32, compensated=True)
+    vb = dense_jax.Vectors(b32)
+    g = va.dot(vb)                     # rows: vb's vectors (contract)
+    assert g.dtype == np.float64
+    scale = np.abs(oracle).max()
+    assert np.abs(g - oracle).max() / scale < 1e-10
+
+    plain = dense_jax.Vectors(a32).dot(vb)
+    assert np.abs(plain - oracle).max() / scale > 1e-9   # plain f32 floor
+
+    # per-vector dots, complex pairing, and propagation through clones
+    c32 = (a64 + 1j * b64).astype(np.complex64)
+    vc = dense_jax.Vectors(c32, compensated=True)
+    d = vc.clone().dots(vc)
+    dot_oracle = np.einsum('ij,ij->i', c32.conj().astype(np.complex128),
+                           c32.astype(np.complex128))
+    assert np.abs(d - dot_oracle).max() / np.abs(dot_oracle).max() < 1e-10
+
+    # device-kept consumers stay on the plain device path
+    kept = va.dot(vb, keep=True)
+    assert kept.dtype == np.float32
