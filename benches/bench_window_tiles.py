@@ -2,7 +2,7 @@
 (ops/spmm_window.py) at an HBM-resident size, marginal-chain
 methodology (bench._time_chain_marginal — imported, not duplicated).
 
-Usage: python benches/bench_window_tiles.py [tile ...]
+Usage: python benches/bench_window_tiles.py [ring|slide|tiles] [tile ...]
 Prints effective GB/s per tile size (bytes = val + operand-in +
 result-out per apply) plus the fused-XLA reference point.  An invalid
 tile (e.g. tile >= n) raises instead of silently timing the fallback.
@@ -24,9 +24,19 @@ def main():
     from bench import _time_chain_marginal
     from raleigh_tpu.examples.laplace import lap3d
     from raleigh_tpu.ops.spmm import DiaMatrix, _dia_matmat_rows
-    from raleigh_tpu.ops.spmm_window import build_dia_window_matmat
+    from raleigh_tpu.ops.spmm_window import (build_dia_window_matmat,
+                                             build_dia_window_ring,
+                                             build_dia_window_slide,
+                                             build_dia_window_tiles)
 
-    tiles = [int(t) for t in sys.argv[1:]] or [16384, 32768, 65536]
+    variants = {'ring': build_dia_window_ring,
+                'slide': build_dia_window_slide,
+                'tiles': build_dia_window_tiles}
+    builder = build_dia_window_matmat
+    args = sys.argv[1:]
+    if args and args[0] in variants:
+        builder = variants[args.pop(0)]
+    tiles = [int(t) for t in args] or [16384, 32768, 65536]
     m = 32
     a = lap3d(100, 100, 128, 1.0, 1.0, 1.0) * 0.125
     d = DiaMatrix(a)
@@ -45,8 +55,7 @@ def main():
     for tile in tiles:
         # direct build: an unsatisfiable tile raises ValueError here
         # instead of being silently replaced by the XLA fallback
-        fn = build_dia_window_matmat(d.offsets, np.asarray(d.val), n, m,
-                                     tile=tile)
+        fn = builder(d.offsets, np.asarray(d.val), n, m, tile=tile)
         dt = marginal(fn)
         print('tile %7d: %7.1f us/apply  %6.1f GB/s effective'
               % (tile, dt * 1e6, bytes_per / dt / 1e9), flush=True)

@@ -181,7 +181,13 @@ def _rows_matmat(op, sharded):
     if op is None:
         return None
     if hasattr(op, 'matmat_rows'):
-        if sharded and hasattr(op, 'offsets'):
+        if (sharded and hasattr(op, 'offsets')
+                and not (hasattr(op, '_multi_device')
+                         and op._multi_device())):
+            # operand sharded but values on one device: GSPMD must
+            # partition, so pin the fused XLA kernel (values sharded via
+            # shard_operator instead route through matmat_rows' explicit
+            # halo-exchange shard_map path)
             from ..ops.spmm import _dia_matmat_rows
 
             def apply_rows(v):

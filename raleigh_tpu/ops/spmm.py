@@ -136,17 +136,133 @@ class DiaMatrix:
         transposes are inserted.  Routes to the sliding-window Pallas
         kernel when the working set is HBM-resident and the window
         constraints hold; otherwise runs the fused XLA shifted-slice
-        kernel directly in row layout."""
+        kernel directly in row layout.  Values sharded over a mesh
+        (``core.device_solver.shard_operator``) route to the explicit
+        shard_map halo-exchange kernel, falling back to the
+        GSPMD-partitioned fused kernel when its constraints fail."""
         m, n = x.shape
         noff = len(self.offsets)
         ws = (2 * m + noff) * n * 4
+        if self._multi_device():
+            fn = self.sharded_rows_fn(m, n, x.dtype, tile=tile)
+            if fn is not None:
+                return fn(x)
+            return _dia_matmat_rows(self.val, x, self.offsets)
         if (ws > self.WINDOW_HBM_BYTES and n % 128 == 0
                 and x.dtype == jnp.float32
                 and self.val.dtype == jnp.float32
-                and not self._multi_device()
                 and -(-n // max(tile, 128)) >= 2):
             return self.matmat_rows_window(x, tile=tile)
         return _dia_matmat_rows(self.val, x, self.offsets)
+
+    def sharded_rows_fn(self, m, n, dtype=jnp.float32, tile=32768,
+                        interpret=False, force_window=None):
+        """Mesh-partitioned row-layout apply: each shard computes its
+        lane range from its local diagonals plus ``ppermute``-exchanged
+        neighbor halos (one hop per side), through the Pallas ring-window
+        kernel at HBM-resident per-shard sizes (TPU) or the fused XLA
+        extended-operand kernel otherwise (SURVEY §5.8: halo exchange
+        double-buffered against local compute in a Pallas kernel).
+
+        The ring wraps at the global boundary; the wrapped lanes are
+        annihilated by the zero out-of-range diagonal values, so no edge
+        cases exist.  Returns None when the partitioning constraints
+        fail (uneven or lane-unaligned shards, halo wider than a shard)
+        — callers then use the GSPMD-partitioned fused kernel.
+        ``force_window``: True forces the Pallas path (tests use it with
+        ``interpret=True`` on CPU meshes), False forces the fused path.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        try:
+            from jax import shard_map
+        except ImportError:                              # older jax
+            from jax.experimental.shard_map import shard_map
+        from jax import lax
+
+        sh = getattr(self.val, 'sharding', None)
+        if not isinstance(sh, NamedSharding):
+            return None
+        spec = tuple(sh.spec) + (None,) * (2 - len(tuple(sh.spec)))
+        axis = spec[1]
+        if isinstance(axis, tuple):
+            if len(axis) != 1:
+                return None      # ring ppermute needs one mesh axis
+            axis = axis[0]
+        if spec[0] is not None or axis is None:
+            return None
+        mesh = sh.mesh
+        nshards = int(mesh.shape[axis])
+        offsets = self.offsets
+        noff = len(offsets)
+        lo = max(0, -min(offsets))
+        hi = max(0, max(offsets))
+        halo_lo = -(-lo // 128) * 128
+        halo_hi = -(-hi // 128) * 128
+        if n % nshards:
+            return None
+        n_local = n // nshards
+        if n_local % 128 or max(halo_lo, halo_hi) > n_local:
+            return None
+        key = ('sharded', m, n, tile, bool(interpret), force_window)
+        if not hasattr(self, '_window_cache'):
+            self._window_cache = {}
+        hit = self._window_cache.get(key)
+        if hit is not None:
+            return hit
+
+        ws = (2 * m + noff) * n_local * 4
+        platforms = {d.platform for d in sh.device_set}
+        use_window = (ws > self.WINDOW_HBM_BYTES
+                      and dtype == jnp.float32
+                      and self.val.dtype == jnp.float32
+                      and -(-n_local // max(tile, 128)) >= 2
+                      and (platforms == {'tpu'} or interpret))
+        if force_window is not None:
+            use_window = force_window
+        if use_window:
+            from .spmm_window import build_dia_window_ring_ext
+            try:
+                call, w_lo, w_hi, npad = build_dia_window_ring_ext(
+                    offsets, n_local, m, tile=tile, interpret=interpret)
+            except ValueError:
+                use_window = False
+
+        def kernel(val_l, x_l):
+            fwd = [(i, (i + 1) % nshards) for i in range(nshards)]
+            bwd = [(i, (i - 1) % nshards) for i in range(nshards)]
+            parts = []
+            if halo_lo:
+                parts.append(lax.ppermute(x_l[:, -halo_lo:], axis, fwd))
+            parts.append(x_l)
+            if halo_hi:
+                parts.append(lax.ppermute(x_l[:, :halo_hi], axis, bwd))
+            x_ext = jnp.concatenate(parts, axis=1) if len(parts) > 1 \
+                else x_l
+            if use_window:
+                H = w_lo + w_hi
+                pad = npad + H - x_ext.shape[1]
+                if pad:
+                    x_ext = jnp.pad(x_ext, ((0, 0), (0, pad)))
+                val_p = jnp.pad(val_l, ((0, 0), (0, npad - n_local))) \
+                    if npad > n_local else val_l
+                return call(x_ext, val_p)[:, :n_local]
+            return _dia_matmat_rows_ext(val_l, x_ext, offsets, halo_lo,
+                                        n_local)
+
+        specs = dict(mesh=mesh, in_specs=(P(None, axis), P(None, axis)),
+                     out_specs=P(None, axis))
+        try:
+            # a pallas_call inside shard_map cannot declare its varying
+            # mesh axes; disable the vma check where supported
+            mapped = shard_map(kernel, check_vma=False, **specs)
+        except TypeError:                                # older jax
+            mapped = shard_map(kernel, **specs)
+
+        def apply(x):
+            return mapped(self.val, x)
+
+        self._window_cache[key] = apply
+        return apply
 
     def window_padded_fn(self, m, tile=32768, interpret=False):
         """Sliding-window kernel for lane-UNALIGNED n: the aligned kernel
@@ -181,6 +297,20 @@ class DiaMatrix:
             return None
         self._window_cache[key] = (fn, n128)
         return fn, n128
+
+
+@partial(jax.jit, static_argnames=('offsets', 'lo_ext', 'n'))
+def _dia_matmat_rows_ext(val, x_ext, offsets, lo_ext, n):
+    """Fused XLA DIA SpMM over a pre-extended operand: x_ext carries
+    ``lo_ext`` halo lanes before the n local lanes (plus at least
+    max(offsets) after), so every diagonal is a static slice with no
+    padding pass — the per-shard fallback of the mesh-partitioned SpMM."""
+    m = x_ext.shape[0]
+    y = jnp.zeros((m, n), dtype=x_ext.dtype)
+    for k, off in enumerate(offsets):
+        y = y + val[k][None, :n] * jax.lax.dynamic_slice_in_dim(
+            x_ext, lo_ext + off, n, axis=1)
+    return y
 
 
 @partial(jax.jit, static_argnames=('offsets',))

@@ -314,6 +314,268 @@ def build_dia_window_slide(offsets, val, n, m, tile=32768,
     return apply
 
 
+def build_dia_window_tiles(offsets, val, n, m, tile=32768,
+                           interpret=False):
+    """Tile-ring variant: NO halo copies at all.  A rolling ring of four
+    whole (m, T) body tiles lives in VMEM, each DMA'd from HBM exactly
+    once; computing output tile i reads tiles i-1, i, i+1, and every
+    diagonal offset becomes at most two lane-slices split at the tile
+    boundary (the split points are the offsets mod T, lane-aligned for
+    aligned offsets).
+
+    Motivation (round-4 A/B): the ring/slide variants carry a
+    (halo_lo + halo_hi)-lane halo per window — for far stencil offsets
+    (lap3d: ±nx*ny) that is most of a tile, so the per-step local
+    VMEM-to-VMEM halo DMA moves almost as many bytes as the HBM body
+    stream and serializes against it.  Here the halo disappears; the
+    only per-step data movement is the one T-wide HBM read and the
+    T-wide output write.
+
+    Constraints: same as the other variants, plus max|offset| <= T.
+    """
+    offsets = tuple(int(o) for o in offsets)
+    noff = len(offsets)
+    lo = max(0, -min(offsets))
+    hi = max(0, max(offsets))
+    T = -(-max(tile, 128) // 128) * 128
+    if max(lo, hi) > T:
+        raise ValueError('tile-ring kernel needs max|offset| <= tile')
+    if n % 128:
+        raise ValueError('window kernel needs n %% 128 == 0 (got %d)' % n)
+    npad = -(-n // T) * T
+    nsteps = npad // T
+    if nsteps < 2:
+        raise ValueError('problem too small for the window kernel; '
+                         'use the fused XLA path')
+    vp = np.zeros((noff, npad), np.float32)
+    vp[:, :n] = np.asarray(val, dtype=np.float32)
+    val_p = jnp.asarray(vp)
+    w_last = n - (nsteps - 1) * T          # valid width of the last tile
+
+    def kern(x_hbm, val_ref, y_ref, ring, sems):
+        i = pl.program_id(0)
+
+        def tile_dma(t, slot, w):
+            return pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(t * T, w)],
+                ring.at[slot, :, pl.ds(0, w)], sems.at[slot])
+
+        def fetch(t, slot):
+            """Start the DMA for body tile ``t`` into ``slot`` —
+            zero-filling first when the tile is partial or absent."""
+            if t >= nsteps:
+                ring[slot] = jnp.zeros((m, T), jnp.float32)
+                return
+            if t == nsteps - 1 and w_last < T:
+                ring[slot] = jnp.zeros((m, T), jnp.float32)
+                tile_dma(t, slot, w_last).start()
+            else:
+                tile_dma(t, slot, T).start()
+
+        def await_tile(t, slot):
+            if t >= nsteps:
+                return
+            if t == nsteps - 1 and w_last < T:
+                tile_dma(t, slot, w_last).wait()
+            else:
+                tile_dma(t, slot, T).wait()
+
+        @pl.when(i == 0)
+        def _():
+            # slot layout at step 0: tile -1 -> slot 3 (zeros),
+            # tile 0 -> slot 0 (awaited now), tiles 1 and 2 -> slots 1, 2
+            # (left in flight; awaited at steps 0 and 1)
+            ring[3] = jnp.zeros((m, T), jnp.float32)
+            fetch(0, 0)
+            fetch(1, 1)
+            fetch(2, 2)
+            await_tile(0, 0)
+
+        # wait for tile i+1 (started at step i-1, or at step 0 above)
+        for s in range(nsteps):
+            @pl.when(i == s)
+            def _(s=s):
+                if s + 1 < nsteps:
+                    await_tile(s + 1, (s + 1) % 4)
+
+        # start tile i+2 into the slot vacated by tile i-2 (compute at
+        # step i reads slots (i-1), i, (i+1) mod 4 — never (i+2) mod 4);
+        # beyond-the-end tiles zero the slot instead (fetch handles it)
+        for s in range(1, nsteps):
+            @pl.when(i == s)
+            def _(s=s):
+                fetch(s + 2, (s + 2) % 4)
+
+        def compute(prev, cur, nxt):
+            acc = None
+            for k in range(noff):
+                off = offsets[k]
+                vk = val_ref[k]
+                if off == 0:
+                    term = vk[None, :] * cur
+                    acc = term if acc is None else acc + term
+                    continue
+                if off > 0:
+                    # t in [0, T-off): cur[off+t]; t in [T-off, T): nxt
+                    a = T - off
+                    upd_lo = vk[None, :a] * cur[:, off:]
+                    upd_hi = vk[None, a:] * nxt[:, :off]
+                else:
+                    a = -off
+                    upd_lo = vk[None, :a] * prev[:, T + off:]
+                    upd_hi = vk[None, a:] * cur[:, :T + off]
+                both = jnp.concatenate([upd_lo, upd_hi], axis=1)
+                acc = both if acc is None else acc + both
+            y_ref[:, :] = acc
+
+        for r in range(4):
+            @pl.when(i % 4 == r)
+            def _(r=r):
+                compute(ring[(r - 1) % 4], ring[r], ring[(r + 1) % 4])
+
+    call = pl.pallas_call(
+        kern,
+        grid=(nsteps,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((noff, T), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((m, T), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((4, m, T), jnp.float32),
+                        pltpu.SemaphoreType.DMA((4,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def apply(x):
+        return call(x, val_p)
+
+    return apply
+
+
+def build_dia_window_ring_ext(offsets, n, m, tile=32768, interpret=False):
+    """Ring-window DIA SpMM over a PRE-EXTENDED operand — the per-shard
+    kernel of the mesh-partitioned SpMM (ops/spmm.py
+    ``DiaMatrix.matmat_rows_sharded``).
+
+    The caller supplies x_ext (m, npad + H) = [left halo (halo_lo) |
+    local lanes (n, zero-padded to npad) | right halo + pad], assembled
+    from its own shard plus ``ppermute``-exchanged neighbor lanes, and
+    the diagonal values (noff, npad) as a TRACED argument (each shard
+    holds different values — unlike the single-device builder, nothing
+    closes over them).  Pre-extension makes every step's body chunk a
+    full, lane-aligned T-wide slice, so this variant has no zero-fill or
+    clipped-DMA cases at all.
+
+    Returns (apply(x_ext, val_padded) -> (m, npad), halo_lo, halo_hi,
+    npad); callers slice [:, :n].
+    """
+    offsets = tuple(int(o) for o in offsets)
+    noff = len(offsets)
+    lo = max(0, -min(offsets))
+    hi = max(0, max(offsets))
+    halo_lo = -(-lo // 128) * 128
+    halo_hi = -(-hi // 128) * 128
+    H = halo_lo + halo_hi
+    T = -(-max(tile, H) // 128) * 128
+    if n % 128:
+        raise ValueError('window kernel needs n %% 128 == 0 (got %d)' % n)
+    npad = -(-n // T) * T
+    nsteps = npad // T
+    if nsteps < 2:
+        raise ValueError('problem too small for the window kernel; '
+                         'use the fused XLA path')
+
+    def kern(x_hbm, val_ref, y_ref, wa, wb, sems):
+        i = pl.program_id(0)
+
+        # every chunk is full T width here, so DMA descriptors can take
+        # the (traced) window index directly — no per-step unrolling;
+        # a wait reconstructs exactly the descriptor its start used
+        def body_dma(s, w):
+            return pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(s * T + H, T)],
+                w.at[:, pl.ds(H, T)], sems.at[s % 2])
+
+        def halo_dma(src, dst, s):
+            return pltpu.make_async_copy(
+                src.at[:, pl.ds(T, H)], dst.at[:, pl.ds(0, H)],
+                sems.at[2 + s % 2])
+
+        @pl.when(i == 0)
+        def _():
+            cp = pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(0, T + H)],
+                wa.at[:, pl.ds(0, T + H)], sems.at[4])
+            cp.start()
+            cp.wait()
+
+        @pl.when((i > 0) & (i % 2 == 1))
+        def _():
+            if H > 0:
+                halo_dma(wa, wb, i).wait()
+            body_dma(i, wb).wait()
+
+        @pl.when((i > 0) & (i % 2 == 0))
+        def _():
+            if H > 0:
+                halo_dma(wb, wa, i).wait()
+            body_dma(i, wa).wait()
+
+        # launch window i+1's fills before computing tile i, so the HBM
+        # stream and the halo copy overlap this tile's compute
+        @pl.when((i + 1 < nsteps) & ((i + 1) % 2 == 1))
+        def _():
+            if H > 0:
+                halo_dma(wa, wb, i + 1).start()
+            body_dma(i + 1, wb).start()
+
+        @pl.when((i + 1 < nsteps) & ((i + 1) % 2 == 0))
+        def _():
+            if H > 0:
+                halo_dma(wb, wa, i + 1).start()
+            body_dma(i + 1, wa).start()
+
+        def compute(w):
+            acc = val_ref[0][None, :] * w[:, halo_lo + offsets[0]:
+                                          halo_lo + offsets[0] + T]
+            for k in range(1, noff):
+                off = offsets[k]
+                acc = acc + val_ref[k][None, :] * w[:, halo_lo + off:
+                                                    halo_lo + off + T]
+            y_ref[:, :] = acc
+
+        @pl.when(i % 2 == 0)
+        def _():
+            compute(wa)
+
+        @pl.when(i % 2 == 1)
+        def _():
+            compute(wb)
+
+    call = pl.pallas_call(
+        kern,
+        grid=(nsteps,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((noff, T), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((m, T), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, npad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((m, T + H), jnp.float32),
+                        pltpu.VMEM((m, T + H), jnp.float32),
+                        pltpu.SemaphoreType.DMA((5,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    return call, halo_lo, halo_hi, npad
+
+
 # production alias consumed by DiaMatrix.matmat_rows_window /
 # window_padded_fn; both variants share its contract
 build_dia_window_matmat = build_dia_window_ring
