@@ -56,29 +56,39 @@ def svd_normal_matmat(adata, transp, shift, aves=None):
     """Build the jit-traceable row-block normal operator of the (implicitly
     mean-shifted) data matrix: x (mb, d) -> x (B B^H)^T with B = A - e a^T,
     matching _OperatorSVD.apply (reference partial_svd.py:258-291,
-    this repo interfaces/partial_svd.py:48-74)."""
+    this repo interfaces/partial_svd.py:48-74).
+
+    Returns (matmat, operands): ``matmat(operands, x)`` with the data
+    arrays passed as an ARGUMENT pytree, never a closure constant — a
+    closed-over jax.Array is baked into the compiled program as a
+    literal, so every new dataset would re-compile the whole chunk
+    superkernel (and defeat the persistent compilation cache; on a
+    tunneled device that is minutes of remote compile per PCA call)."""
     m = adata.shape[0]
+    operands = (adata, aves) if shift else (adata,)
 
     if transp:
-        def matmat(x):
+        def matmat(ops, x):
+            adata = ops[0]
             z = jnp.matmul(x, _cj(adata), precision=_HI)
             if shift:
                 s = jnp.sum(x, axis=1, keepdims=True)      # x e
-                z = z - s * aves[None, :].astype(z.dtype)
+                z = z - s * ops[1][None, :].astype(z.dtype)
             y = jnp.matmul(z, adata.T, precision=_HI)
             if shift:
-                s = jnp.matmul(z, _cj(aves)[:, None], precision=_HI)
+                s = jnp.matmul(z, _cj(ops[1])[:, None], precision=_HI)
                 y = y - s
             return y
     else:
-        def matmat(x):
+        def matmat(ops, x):
+            adata = ops[0]
             z = jnp.matmul(x, adata.T, precision=_HI)
             if shift:
                 for _ in range(2):   # double orthogonalization for accuracy
                     s = jnp.sum(z, axis=1, keepdims=True)
                     z = z - s / m
             return jnp.matmul(z, _cj(adata), precision=_HI)
-    return matmat
+    return matmat, operands
 
 
 class DeviceJacobi:
@@ -93,11 +103,20 @@ class DeviceJacobi:
     _sweep = Solver._sweep
     _print_iterate_table = Solver._print_iterate_table
 
-    def __init__(self, matmat, dim, dtype=np.float32, precond=None):
+    def __init__(self, matmat, dim, dtype=np.float32, precond=None,
+                 operands=None):
+        """``operands``: optional pytree of device arrays the operator
+        works on; when given, ``matmat`` is called as
+        ``matmat(operands, x)`` and the arrays flow through the chunk
+        superkernel as ARGUMENTS.  Closure-captured jax.Arrays would be
+        baked into the compiled program as literals — every dataset a
+        fresh multi-minute remote compile and a cache entry carrying the
+        whole matrix (the round-3 'pca_jacobi 198 s' failure mode)."""
         self.matmat = matmat
         self.dim = int(dim)
         self.dtype = np.dtype(dtype).type
         self.precond = precond
+        self._operands = operands
         # Solver-compatible public state
         self.iteration = 0
         self.lcon = 0
@@ -132,13 +151,20 @@ class DeviceJacobi:
     def problem(self):
         return self
 
+    def _mm(self, x):
+        """Apply the operator eagerly (outside the chunk superkernel)."""
+        if self._operands is not None:
+            return self.matmat(self._operands, x)
+        return self.matmat(x)
+
     # -- jitted kernels (compiled per (m, K) signature) --------------------
 
     def _build(self, m, K):
         key = (m, K)
         if key in self._kernels:
             return self._kernels[key]
-        matmat = self.matmat
+        matmat0 = self.matmat
+        has_ops = self._operands is not None
         precond = self.precond
         eps = float(np.finfo(np.dtype(self.dtype).type(0).real.dtype).eps)
         eps_rel = 100 * eps
@@ -207,7 +233,9 @@ class DeviceJacobi:
             return block, q_tot
 
         @partial(jax.jit, static_argnames=('iters',), donate_argnums=(0,))
-        def run_chunk(state, iters):
+        def run_chunk(state, ops, iters):
+            matmat = (lambda x: matmat0(ops, x)) if has_ops else matmat0
+
             def body(t, carry):
                 x, ax, p, ap, xc, axc, anorm, lam_h, dx_h = carry
                 # re-deflate X against the locked set every iteration: a
@@ -414,14 +442,14 @@ class DeviceJacobi:
             rows = eigenvectors.device_data().astype(x.dtype)
             self._xc = self._xc.at[:nc0].set(rows)
             self._axc = self._axc.at[:nc0].set(
-                self.matmat(rows).astype(x.dtype))
+                self._mm(rows).astype(x.dtype))
             self._nc = nc0
         fresh0 = jnp.zeros((m, n), dtype=x.dtype)
         x, _ax_drop, self._xc, self._axc = lock_refresh(
             x, jnp.zeros_like(x), self._xc, self._axc,
             jnp.asarray(self._nc, jnp.int32),
             jnp.zeros((m,), bool), fresh0)
-        ax = self.matmat(x).astype(x.dtype)
+        ax = self._mm(x).astype(x.dtype)
         p = jnp.zeros_like(x)
         ap = jnp.zeros_like(x)
         anorm = jnp.zeros((), jnp.float32)
@@ -437,8 +465,8 @@ class DeviceJacobi:
                 status = 2
                 break
             iters = int(min(chunk, max(1, max_iter - np.amax(iterations))))
-            state, lam_k, res_k, lam_h_k, dx_h_k, ge_k = run_chunk(state,
-                                                                   iters)
+            state, lam_k, res_k, lam_h_k, dx_h_k, ge_k = run_chunk(
+                state, self._operands, iters)
             # run_chunk donates its input state: re-point the constraint
             # buffers at the live copies
             self._xc, self._axc = state[4], state[5]
@@ -459,7 +487,7 @@ class DeviceJacobi:
                     jnp.asarray(self._nc, jnp.int32),
                     jnp.zeros((m,), bool), jnp.zeros((m, n), x.dtype))
                 self._xc, self._axc = xc, axc
-                ax = self.matmat(x).astype(x.dtype)
+                ax = self._mm(x).astype(x.dtype)
                 state = (x, ax, jnp.zeros_like(x), jnp.zeros_like(x),
                          xc, axc, state[6])
                 rec = 0
@@ -556,7 +584,7 @@ class DeviceJacobi:
                     jnp.asarray(mask), fresh)
                 self._nc += rcon
                 self._xc, self._axc = xc, axc
-                ax = self.matmat(x).astype(x.dtype)
+                ax = self._mm(x).astype(x.dtype)
                 p = jnp.zeros_like(x)
                 ap = jnp.zeros_like(x)
                 state = (x, ax, p, ap, xc, axc, anorm)

@@ -202,10 +202,10 @@ class PartialSVD:
 
             adata = self.__op.device_array()
             aves = (opSVD.aves.device_data()[0] if self.__shift else None)
-            matmat = svd_normal_matmat(adata, self.__transp, self.__shift,
-                                       aves)
+            matmat, operands = svd_normal_matmat(adata, self.__transp,
+                                                 self.__shift, aves)
             engine = DeviceJacobi(matmat, self.__shape[1],
-                                  dtype=v.data_type())
+                                  dtype=v.data_type(), operands=operands)
             t0 = _time.time()
             status = engine.solve(v, options=opt, nwanted=nsv[1],
                                   verb=opt.verbosity)
