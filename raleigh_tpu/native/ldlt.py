@@ -166,6 +166,23 @@ def symbolic_factor_nnz(a, perm):
                                 _ptr64(perm)))
 
 
+# process-level ordering cache: fill-reducing orderings depend only on
+# the sparsity PATTERN, and production workloads factorize the same
+# structure many times (shift sweeps, buckling continuation, repeated
+# solves) — the reference's PARDISO likewise separates analyse from
+# factorize for exactly this reuse (reference mkl_wrap.py:411-436)
+_ORDER_CACHE = {}
+_ORDER_CACHE_MAX = 8
+
+
+def _pattern_key(n, ap, ai):
+    import hashlib
+    h = hashlib.sha1()
+    h.update(ap.tobytes())
+    h.update(ai.tobytes())
+    return (int(n), int(ai.size), h.hexdigest())
+
+
 def best_ordering(a, verb=0):
     """AMD and nested-dissection permutations are both cheap next to the
     numeric factorization; count the exact symbolic fill of each and keep
@@ -177,6 +194,27 @@ def best_ordering(a, verb=0):
 
     n, ap, ai = _pattern64(a)
     lib = _load()
+
+    key = _pattern_key(n, ap, ai)
+    hit = _ORDER_CACHE.get(key)
+    if hit is not None:
+        if verb > 0:
+            print('ordering: pattern cache hit')
+        return hit
+
+    # stencil fast path: a regular-grid pattern collapses onto a handful
+    # of distinct diagonals, and nested dissection is the known winner
+    # on grid graphs (grid separators are asymptotically optimal;
+    # measured 5.8x on the FE-class pin, STATUS.md) — skip the AMD
+    # candidate and its exact symbolic count
+    if n >= 50000:
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(ap))
+        if np.unique(ai - rows).size <= 32:
+            if verb > 0:
+                print('ordering: stencil pattern -> nd')
+            perm = _order_native('nd_order', n, ap, ai)
+            _order_cache_put(key, perm)
+            return perm
 
     def _candidate(fn_name):
         perm = _order_native(fn_name, n, ap, ai)
@@ -192,7 +230,15 @@ def best_ordering(a, verb=0):
     if verb > 0:
         print('ordering: amd fill %d, nd fill %d -> %s'
               % (f_amd, f_nd, 'nd' if f_nd < f_amd else 'amd'))
-    return perm_nd if f_nd < f_amd else perm_amd
+    perm = perm_nd if f_nd < f_amd else perm_amd
+    _order_cache_put(key, perm)
+    return perm
+
+
+def _order_cache_put(key, perm):
+    if len(_ORDER_CACHE) >= _ORDER_CACHE_MAX:
+        _ORDER_CACHE.pop(next(iter(_ORDER_CACHE)))
+    _ORDER_CACHE[key] = perm
 
 
 def native_available():
