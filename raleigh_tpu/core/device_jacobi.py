@@ -104,19 +104,30 @@ class DeviceJacobi:
     _print_iterate_table = Solver._print_iterate_table
 
     def __init__(self, matmat, dim, dtype=np.float32, precond=None,
-                 operands=None):
+                 operands=None, matmat_b=None, operands_b=None):
         """``operands``: optional pytree of device arrays the operator
         works on; when given, ``matmat`` is called as
         ``matmat(operands, x)`` and the arrays flow through the chunk
         superkernel as ARGUMENTS.  Closure-captured jax.Arrays would be
         baked into the compiled program as literals — every dataset a
         fresh multi-minute remote compile and a cache entry carrying the
-        whole matrix (the round-3 'pca_jacobi 198 s' failure mode)."""
+        whole matrix (the round-3 'pca_jacobi 198 s' failure mode).
+
+        ``matmat_b`` (optional): right-hand operator of a generalized
+        pencil A x = lmd B x (B symmetric/Hermitian positive definite);
+        the whole iteration then runs in the B-inner product with exact
+        tracking of B-images alongside the A-images (the pattern of the
+        LOBPCG superkernel, core/device_solver.py:80-152), preserving
+        per-vector convergence control for gen problems (reference
+        problem types std/gen in one engine, core/solver.py:224-258)."""
         self.matmat = matmat
         self.dim = int(dim)
         self.dtype = np.dtype(dtype).type
         self.precond = precond
         self._operands = operands
+        self.matmat_b = matmat_b
+        self._operands_b = operands_b
+        self.has_b = matmat_b is not None
         # Solver-compatible public state
         self.iteration = 0
         self.lcon = 0
@@ -157,6 +168,11 @@ class DeviceJacobi:
             return self.matmat(self._operands, x)
         return self.matmat(x)
 
+    def _mm_b(self, x):
+        if self._operands_b is not None:
+            return self.matmat_b(self._operands_b, x)
+        return self.matmat_b(x)
+
     # -- jitted kernels (compiled per (m, K) signature) --------------------
 
     def _build(self, m, K):
@@ -165,6 +181,9 @@ class DeviceJacobi:
             return self._kernels[key]
         matmat0 = self.matmat
         has_ops = self._operands is not None
+        matmat_b0 = self.matmat_b
+        has_ops_b = self._operands_b is not None
+        has_b = self.has_b
         precond = self.precond
         eps = float(np.finfo(np.dtype(self.dtype).type(0).real.dtype).eps)
         eps_rel = 100 * eps
@@ -174,18 +193,29 @@ class DeviceJacobi:
             # rows are vectors: G[i, j] = <a_i, b_j>
             return jnp.matmul(_cj(a), b.T, precision=_HI)
 
-        def _norm_drop(block, dead0=None):
-            norms = jnp.sqrt(jnp.einsum('ij,ij->i', _cj(block), block).real)
+        def _norm_drop(block, dead0=None, bblock=None):
+            """Unit-normalize rows; rows that collapsed below sqrt(eps)
+            of the block's largest are noise — zero and flag.  Norms are
+            B-norms when ``bblock`` (the tracked B-image) is given; the
+            image receives the identical row scaling (exact)."""
+            other = block if bblock is None else bblock
+            norms = jnp.sqrt(jnp.maximum(jnp.einsum(
+                'ij,ij->i', _cj(block), other).real, 0.0))
             ref = jnp.maximum(jnp.max(norms), 1e-30)
             dead = norms <= sqrt_eps * ref
             if dead0 is not None:
                 dead = dead | dead0
             safe = jnp.where(norms == 0, 1.0, norms).astype(block.dtype)
             out = jnp.where(dead[:, None], 0.0, block / safe[:, None])
-            return out, dead, norms
+            bout = None if bblock is None else \
+                jnp.where(dead[:, None], 0.0, bblock / safe[:, None])
+            return out, bout, dead, norms
 
-        def _whiten(block, dead0=None):
-            g = _gram(block, block)
+        def _whiten(block, dead0=None, bblock=None):
+            """(B-)orthonormalize rows by eigh-whitening of the (B-)Gram;
+            near-dependent directions zeroed and flagged."""
+            g = _gram(block, block if bblock is None else bblock)
+            g = 0.5 * (g + g.conj().T)
             w, v = jnp.linalg.eigh(g)
             wmax = jnp.maximum(w[-1], 0.0)
             dead_g = w <= wmax * eps_rel
@@ -193,19 +223,23 @@ class DeviceJacobi:
                             1.0 / jnp.sqrt(jnp.where(dead_g, 1.0, w)))
             mix = (v * inv[None, :]).T.conj()        # rows := mix @ rows
             bw = jnp.matmul(mix, block, precision=_HI)
-            out, dead, _ = _norm_drop(bw, dead0)
-            return out, dead, mix
+            bbw = None if bblock is None else \
+                jnp.matmul(mix, bblock, precision=_HI)
+            out, bout, dead, _ = _norm_drop(bw, dead0, bbw)
+            return out, bout, dead, mix
 
-        def _whiten_linear(block, dead0=None):
+        def _whiten_linear(block, dead0=None, bblock=None):
             """Whitening as a PURE linear row-mixing (out = mix @ block
-            exactly, dead rows zeroed without rescaling) so a tracked
-            A-image stays exact under ap := mix @ ap.
+            exactly, dead rows zeroed without rescaling) so tracked A/B
+            images stay exact under img := mix @ img.
 
             The drop cutoff is sqrt(eps), much looser than _whiten's: the
-            mixing amplifies the tracked A-image's rounding error by up to
+            mixing amplifies the tracked images' rounding error by up to
             1/sqrt(cutoff), and a nearly-dependent conjugate direction is
             noise, not signal — dropping it costs nothing."""
-            g = _gram(block, block)
+            other = block if bblock is None else bblock
+            g = _gram(block, other)
+            g = 0.5 * (g + g.conj().T)
             w, v = jnp.linalg.eigh(g)
             wmax = jnp.maximum(w[-1], 0.0)
             dead_g = w <= wmax * sqrt_eps
@@ -213,74 +247,120 @@ class DeviceJacobi:
                             1.0 / jnp.sqrt(jnp.where(dead_g, 1.0, w)))
             mix = (v * inv[None, :]).T.conj()
             bw = jnp.matmul(mix, block, precision=_HI)
+            bbw = None if bblock is None else \
+                jnp.matmul(mix, bblock, precision=_HI)
             # zero-only noise mask: a correctly whitened live row has unit
-            # norm; rows far from it are rounding noise
-            norms = jnp.sqrt(jnp.einsum('ij,ij->i', _cj(bw), bw).real)
+            # (B-)norm; rows far from it are rounding noise
+            norms = jnp.sqrt(jnp.maximum(jnp.einsum(
+                'ij,ij->i', _cj(bw), bw if bbw is None else bbw).real,
+                0.0))
             dead = norms <= 0.5
             if dead0 is not None:
                 dead = dead | dead0
             out = jnp.where(dead[:, None], 0.0, bw)
-            return out, dead, mix
+            bout = None if bbw is None else \
+                jnp.where(dead[:, None], 0.0, bbw)
+            return out, bout, dead, mix
 
-        def _ortho_rows(block, basis):
-            # two-pass classical Gram-Schmidt; returns block and the total
-            # subtracted coefficients (for exact A-image tracking)
+        def _ortho_rows(block, basis, bbasis=None):
+            # two-pass classical Gram-Schmidt against a (B-)orthonormal
+            # basis; coefficients come from the basis's B-image when
+            # given.  Returns block and the total subtracted
+            # coefficients (exact, for A/B-image tracking)
+            if bbasis is None:
+                bbasis = basis
             q_tot = None
             for _ in range(2):
-                q = _gram(block, basis)
+                q = _gram(block, bbasis)
                 block = block - jnp.matmul(q, basis, precision=_HI)
                 q_tot = q if q_tot is None else q_tot + q
             return block, q_tot
 
+        def _pack(x, ax, bx, p, ap, bp, xc, axc, bxc, anorm):
+            if has_b:
+                return (x, ax, bx, p, ap, bp, xc, axc, bxc, anorm)
+            return (x, ax, p, ap, xc, axc, anorm)
+
+        def _unpack(state):
+            if has_b:
+                return state
+            x, ax, p, ap, xc, axc, anorm = state
+            return x, ax, x, p, ap, p, xc, axc, xc, anorm
+
         @partial(jax.jit, static_argnames=('iters',), donate_argnums=(0,))
-        def run_chunk(state, ops, iters):
+        def run_chunk(state, ops, ops_b, iters):
             matmat = (lambda x: matmat0(ops, x)) if has_ops else matmat0
+            if has_b:
+                matmat_b = (lambda x: matmat_b0(ops_b, x)) if has_ops_b \
+                    else matmat_b0
 
             def body(t, carry):
-                x, ax, p, ap, xc, axc, anorm, lam_h, dx_h = carry
+                x, ax, bx, p, ap, bp, xc, axc, bxc, anorm, lam_h, dx_h = \
+                    _unpack(carry[:-2]) + carry[-2:]
                 # re-deflate X against the locked set every iteration: a
                 # locked direction with a larger eigenvalue amplifies any
                 # f32 leak exponentially through the Rayleigh-Ritz
                 # maximization, so the leak must be reset to rounding
-                # level each step (A-image follows exactly: row ops
-                # commute with A)
-                qx = _gram(x, xc)
+                # level each step (A/B-images follow exactly: row ops
+                # commute with the operators)
+                qx = _gram(x, bxc)
                 x = x - jnp.matmul(qx, xc, precision=_HI)
                 ax = ax - jnp.matmul(qx, axc, precision=_HI)
+                bx = x if not has_b else \
+                    bx - jnp.matmul(qx, bxc, precision=_HI)
                 lam = jnp.einsum('ij,ij->i', _cj(x), ax,
                                  precision=_HI).real
-                anorm = jnp.maximum(anorm, jnp.max(jnp.abs(lam)))
+                anorm = jnp.maximum(anorm, jnp.max(jnp.abs(lam)).astype(anorm.dtype))
                 lam_h = lax.dynamic_update_slice_in_dim(
-                    lam_h, lam[None, :], t, 0)
-                w = ax - lam[:, None].astype(x.dtype) * x
+                    lam_h, lam[None, :].astype(lam_h.dtype), t, 0)
+                w = ax - lam[:, None].astype(x.dtype) * bx
                 if precond is not None:
                     w = precond(w).astype(w.dtype)
                 # deflate against locked constraints (zero rows of xc are
-                # no-ops, so no count masking is needed)
-                w, _ = _ortho_rows(w, xc)
-                w, dead_w, _ = _norm_drop(w)
-                w, _ = _ortho_rows(w, x)
-                w, dead_w, _ = _norm_drop(w, dead_w)
-                w, dead_w, _ = _whiten(w, dead_w)
-                # fresh Krylov direction: the single operator application
+                # no-ops, so no count masking is needed); B-inner products
+                # contract against the tracked B-images
+                w, _ = _ortho_rows(w, xc, bxc)
+                w, _, dead_w, _ = _norm_drop(w)
+                w, _ = _ortho_rows(w, x, bx)
+                if has_b:
+                    bw = matmat_b(w).astype(w.dtype)
+                    w, bw, dead_w, _ = _norm_drop(w, dead_w, bw)
+                    w, bw, dead_w, _ = _whiten(w, dead_w, bw)
+                else:
+                    w, _, dead_w, _ = _norm_drop(w, dead_w)
+                    w, _, dead_w, _ = _whiten(w, dead_w)
+                    bw = w
+                # fresh Krylov direction: the single A application
                 aw = matmat(w).astype(w.dtype)
                 # conjugate directions: deflate and re-orthonormalize with
-                # exact A-image tracking — every transform of P here is a
-                # pure row operation, which commutes with A, so AP follows
-                # through the same coefficients
-                p, dead_p, nrm = _norm_drop(p)
+                # exact A/B-image tracking — every transform of P here is
+                # a pure row operation, which commutes with the operators,
+                # so AP (and BP) follow through the same coefficients
+                p, bp_n, dead_p, nrm = _norm_drop(
+                    p, bblock=bp if has_b else None)
                 safe = jnp.where(nrm == 0, 1.0, nrm).astype(p.dtype)
                 ap = jnp.where(dead_p[:, None], 0.0, ap / safe[:, None])
-                qc, q1 = _ortho_rows(p, xc)
+                bp = p if not has_b else bp_n
+                qc, q1 = _ortho_rows(p, xc, bxc)
                 ap = ap - jnp.matmul(q1, axc, precision=_HI)
+                if has_b:
+                    bp = bp - jnp.matmul(q1, bxc, precision=_HI)
                 p = qc
-                p, q2 = _ortho_rows(p, x)
+                p, q2 = _ortho_rows(p, x, bx)
                 ap = ap - jnp.matmul(q2, ax, precision=_HI)
-                p, q3 = _ortho_rows(p, w)
+                if has_b:
+                    bp = bp - jnp.matmul(q2, bx, precision=_HI)
+                p, q3 = _ortho_rows(p, w, bw)
                 ap = ap - jnp.matmul(q3, aw, precision=_HI)
-                p, dead_p, mix = _whiten_linear(p, dead_p)
+                if has_b:
+                    bp = bp - jnp.matmul(q3, bw, precision=_HI)
+                    p, bp, dead_p, mix = _whiten_linear(p, dead_p, bp)
+                else:
+                    p, _, dead_p, mix = _whiten_linear(p, dead_p)
                 ap = jnp.matmul(mix, ap, precision=_HI)
                 ap = jnp.where(dead_p[:, None], 0.0, ap)
+                if not has_b:
+                    bp = p
 
                 s = jnp.concatenate((x, w, p), axis=0)       # (3m, n) rows
                 a_s = jnp.concatenate((ax, aw, ap), axis=0)
@@ -302,34 +382,89 @@ class DeviceJacobi:
                 dx = jnp.sqrt(jnp.einsum(
                     'ij,ij->j', _cj(cm[m:]), cm[m:]).real)
                 dx_h = lax.dynamic_update_slice_in_dim(
-                    dx_h, dx[None, :], t, 0)
+                    dx_h, dx[None, :].astype(dx_h.dtype), t, 0)
                 cwp = cm.at[:m, :].set(0)
                 pn = jnp.matmul(cwp.T, s, precision=_HI)
                 apn = jnp.matmul(cwp.T, a_s, precision=_HI)
-                return xn, axn, pn, apn, xc, axc, anorm, lam_h, dx_h
+                if has_b:
+                    b_s = jnp.concatenate((bx, bw, bp), axis=0)
+                    bxn = jnp.matmul(cm.T, b_s, precision=_HI)
+                    bpn = jnp.matmul(cwp.T, b_s, precision=_HI)
+                else:
+                    bxn, bpn = xn, pn
+                return _pack(xn, axn, bxn, pn, apn, bpn, xc, axc, bxc,
+                             anorm) + (lam_h, dx_h)
 
-            x, ax, p, ap, xc, axc, anorm = state
-            lam_h = jnp.zeros((iters, m), jnp.float32)
-            dx_h = jnp.zeros((iters, m), jnp.float32)
-            x, ax, p, ap, xc, axc, anorm, lam_h, dx_h = lax.fori_loop(
-                0, iters, body, (x, ax, p, ap, xc, axc, anorm, lam_h, dx_h))
+            # the eigenvalue history must carry the engine's REAL dtype:
+            # an f32 history under an f64 iteration quantizes decrements
+            # at ~eps32*|lam|, and that noise reads as fake progress to
+            # the stagnation/kinematic machinery (pairs never lock)
+            rdt = jnp.zeros((), state[0].dtype).real.dtype
+            carry = state + (jnp.zeros((iters, m), rdt),
+                             jnp.zeros((iters, m), jnp.float32))
+            carry = lax.fori_loop(0, iters, body, carry)
+            lam_h, dx_h = carry[-2:]
+            x, ax, bx, p, ap, bp, xc, axc, bxc, anorm = _unpack(
+                carry[:-2])
             # deflate the last update's leak, then refresh the tracked
-            # A-image of X at chunk exit: RR-updated images drift by f32
-            # rounding (the host solver bounds the same drift with its
+            # A/B-images of X at chunk exit: RR-updated images drift by
+            # f32 rounding (the host solver bounds the same drift with its
             # Ritz-quality restart, reference core/solver.py:854-920), and
             # the lock/convergence decisions made from this chunk's exit
             # data must be trustworthy
-            qx = _gram(x, xc)
+            qx = _gram(x, bxc)
             x = x - jnp.matmul(qx, xc, precision=_HI)
             ax = matmat(x).astype(x.dtype)
+            bx = matmat_b(x).astype(x.dtype) if has_b else x
             lam = jnp.einsum('ij,ij->i', _cj(x), ax, precision=_HI).real
-            anorm = jnp.maximum(anorm, jnp.max(jnp.abs(lam)))
-            r = ax - lam[:, None].astype(x.dtype) * x
+            anorm = jnp.maximum(anorm, jnp.max(jnp.abs(lam)).astype(anorm.dtype))
+            r = ax - lam[:, None].astype(x.dtype) * bx
             res = jnp.sqrt(jnp.einsum('ij,ij->i', _cj(r), r).real)
-            g = _gram(x, x)
+            g = _gram(x, bx)
             gram_err = jnp.max(jnp.abs(g - jnp.eye(m, dtype=g.dtype)))
-            return (x, ax, p, ap, xc, axc, anorm), lam, res, lam_h, dx_h, \
-                gram_err
+            return _pack(x, ax, bx, p, ap, bp, xc, axc, bxc, anorm), \
+                lam, res, lam_h, dx_h, gram_err
+
+        if has_b:
+            @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5))
+            def lock_refresh_b(x, ax, bx, xc, axc, bxc, nc, cnt_mask,
+                               fresh):
+                """B-mode lock: move flagged rows (with their exact A/B
+                images) into the constraint buffers, compact the kept
+                rows, place fresh random rows on top UNNORMALIZED — the
+                caller B-orthonormalizes via ``entry_fix`` after
+                recomputing the B-image (fresh rows have none yet)."""
+                idx = jnp.argsort(jnp.where(cnt_mask, 0, 1), stable=True)
+                x_s = jnp.take(x, idx, axis=0)
+                ax_s = jnp.take(ax, idx, axis=0)
+                bx_s = jnp.take(bx, idx, axis=0)
+                cnt = jnp.sum(cnt_mask)
+                rows = jnp.arange(m)
+                dst = jnp.where(rows < cnt, nc + rows, K)
+                xc = xc.at[dst].set(x_s, mode='drop')
+                axc = axc.at[dst].set(ax_s, mode='drop')
+                bxc = bxc.at[dst].set(bx_s, mode='drop')
+                keep = jnp.argsort(jnp.where(cnt_mask, 1, 0), stable=True)
+                xk = jnp.take(x, keep, axis=0)
+                live = rows < (m - cnt)
+                xk = jnp.where(live[:, None], xk, fresh)
+                return xk, xc, axc, bxc
+
+            @jax.jit
+            def entry_fix(x, bx, xc, bxc):
+                """B-orthonormalize a refreshed block: two-pass deflation
+                against the locked set in the B-inner product, then
+                B-whitening — both exact on the tracked B-image."""
+                for _ in range(2):
+                    q = _gram(x, bxc)
+                    x = x - jnp.matmul(q, xc, precision=_HI)
+                    bx = bx - jnp.matmul(q, bxc, precision=_HI)
+                x, bx, dead, _ = _norm_drop(x, bblock=bx)
+                x, bx, dead, _ = _whiten(x, dead, bx)
+                return x, bx
+
+            self._kernels[key] = (run_chunk, lock_refresh_b, entry_fix)
+            return self._kernels[key]
 
         @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
         def lock_refresh(x, ax, xc, axc, nc, cnt_mask, fresh):
@@ -425,7 +560,11 @@ class DeviceJacobi:
         dlmd_min_right = 0.0
         epsilon = float(np.finfo(np.dtype(dtype).type(0).real.dtype).eps)
 
-        run_chunk, lock_refresh = self._build(m, K)
+        has_b = self.has_b
+        if has_b:
+            run_chunk, lock_refresh_b, entry_fix = self._build(m, K)
+        else:
+            run_chunk, lock_refresh = self._build(m, K)
 
         # initial block: reproducible host randomness (matches backend
         # convention, dense_jax.py fill_random)
@@ -436,6 +575,7 @@ class DeviceJacobi:
         # include any pre-existing constraints
         self._xc = jnp.zeros((K, n), dtype=x.dtype)
         self._axc = jnp.zeros((K, n), dtype=x.dtype)
+        self._bxc = jnp.zeros((K, n), dtype=x.dtype) if has_b else None
         self._nc = 0
         nc0 = eigenvectors.nvec()
         if nc0 > 0:
@@ -443,17 +583,28 @@ class DeviceJacobi:
             self._xc = self._xc.at[:nc0].set(rows)
             self._axc = self._axc.at[:nc0].set(
                 self._mm(rows).astype(x.dtype))
+            if has_b:
+                self._bxc = self._bxc.at[:nc0].set(
+                    self._mm_b(rows).astype(x.dtype))
             self._nc = nc0
-        fresh0 = jnp.zeros((m, n), dtype=x.dtype)
-        x, _ax_drop, self._xc, self._axc = lock_refresh(
-            x, jnp.zeros_like(x), self._xc, self._axc,
-            jnp.asarray(self._nc, jnp.int32),
-            jnp.zeros((m,), bool), fresh0)
-        ax = self._mm(x).astype(x.dtype)
-        p = jnp.zeros_like(x)
-        ap = jnp.zeros_like(x)
         anorm = jnp.zeros((), jnp.float32)
-        state = (x, ax, p, ap, self._xc, self._axc, anorm)
+        if has_b:
+            bx = self._mm_b(x).astype(x.dtype)
+            x, bx = entry_fix(x, bx, self._xc, self._bxc)
+            ax = self._mm(x).astype(x.dtype)
+            p = jnp.zeros_like(x)
+            state = (x, ax, bx, p, jnp.zeros_like(x), jnp.zeros_like(x),
+                     self._xc, self._axc, self._bxc, anorm)
+        else:
+            fresh0 = jnp.zeros((m, n), dtype=x.dtype)
+            x, _ax_drop, self._xc, self._axc = lock_refresh(
+                x, jnp.zeros_like(x), self._xc, self._axc,
+                jnp.asarray(self._nc, jnp.int32),
+                jnp.zeros((m,), bool), fresh0)
+            ax = self._mm(x).astype(x.dtype)
+            p = jnp.zeros_like(x)
+            ap = jnp.zeros_like(x)
+            state = (x, ax, p, ap, self._xc, self._axc, anorm)
 
         self.iteration = 0
         self.rcon = 0
@@ -466,10 +617,13 @@ class DeviceJacobi:
                 break
             iters = int(min(chunk, max(1, max_iter - np.amax(iterations))))
             state, lam_k, res_k, lam_h_k, dx_h_k, ge_k = run_chunk(
-                state, self._operands, iters)
+                state, self._operands, self._operands_b, iters)
             # run_chunk donates its input state: re-point the constraint
             # buffers at the live copies
-            self._xc, self._axc = state[4], state[5]
+            if has_b:
+                self._xc, self._axc, self._bxc = state[6:9]
+            else:
+                self._xc, self._axc = state[4], state[5]
             lam, res, lam_h, dx_h, gram_err = jax.device_get(
                 (lam_k, res_k, lam_h_k, dx_h_k, ge_k))
             if (gram_err > math.sqrt(epsilon)
@@ -482,14 +636,24 @@ class DeviceJacobi:
                           % gram_err)
                 x = state[0]
                 x = jnp.where(jnp.isfinite(x), x, 0)
-                x, _, xc, axc = lock_refresh(
-                    x, state[1], state[4], state[5],
-                    jnp.asarray(self._nc, jnp.int32),
-                    jnp.zeros((m,), bool), jnp.zeros((m, n), x.dtype))
-                self._xc, self._axc = xc, axc
-                ax = self._mm(x).astype(x.dtype)
-                state = (x, ax, jnp.zeros_like(x), jnp.zeros_like(x),
-                         xc, axc, state[6])
+                if has_b:
+                    xc, axc, bxc = state[6:9]
+                    self._xc, self._axc, self._bxc = xc, axc, bxc
+                    bx = self._mm_b(x).astype(x.dtype)
+                    x, bx = entry_fix(x, bx, xc, bxc)
+                    ax = self._mm(x).astype(x.dtype)
+                    z = jnp.zeros_like(x)
+                    state = (x, ax, bx, z, jnp.zeros_like(x),
+                             jnp.zeros_like(x), xc, axc, bxc, state[9])
+                else:
+                    x, _, xc, axc = lock_refresh(
+                        x, state[1], state[4], state[5],
+                        jnp.asarray(self._nc, jnp.int32),
+                        jnp.zeros((m,), bool), jnp.zeros((m, n), x.dtype))
+                    self._xc, self._axc = xc, axc
+                    ax = self._mm(x).astype(x.dtype)
+                    state = (x, ax, jnp.zeros_like(x), jnp.zeros_like(x),
+                             xc, axc, state[6])
                 rec = 0
                 dlmd[:] = 0
                 iterations += iters
@@ -549,13 +713,23 @@ class DeviceJacobi:
                 if K2 <= K:
                     status = 1
                     break
-                x, ax, p, ap, xc, axc, anorm = state
+                if has_b:
+                    x, ax, bx, p, ap, bp, xc, axc, bxc, anorm = state
+                else:
+                    x, ax, p, ap, xc, axc, anorm = state
                 xc = jnp.zeros((K2, n), xc.dtype).at[:K].set(xc)
                 axc = jnp.zeros((K2, n), axc.dtype).at[:K].set(axc)
                 K = K2
                 self._xc, self._axc = xc, axc
-                state = (x, ax, p, ap, xc, axc, anorm)
-                run_chunk, lock_refresh = self._build(m, K)
+                if has_b:
+                    bxc = jnp.zeros((K2, n), bxc.dtype).at[:bxc.shape[0]] \
+                        .set(bxc)
+                    self._bxc = bxc
+                    state = (x, ax, bx, p, ap, bp, xc, axc, bxc, anorm)
+                    run_chunk, lock_refresh_b, entry_fix = self._build(m, K)
+                else:
+                    state = (x, ax, p, ap, xc, axc, anorm)
+                    run_chunk, lock_refresh = self._build(m, K)
 
             if rcon > 0:
                 first = m - rcon
@@ -570,24 +744,41 @@ class DeviceJacobi:
                 self.convergence_status = np.concatenate(
                     (self.convergence_status, self.cnv[first:]))
                 self.rcon += rcon
-                x, ax, p, ap, xc, axc, anorm = state
                 mask = np.zeros((m,), bool)
                 mask[first:] = True
                 fr = (2 * np.random.rand(rcon, n) - 1).astype(dtype)
                 if cdt is not None:
                     fr = fr + 1j * (2 * np.random.rand(rcon, n) - 1).astype(
                         np.float32)
+                if has_b:
+                    x, ax, bx, p, ap, bp, xc, axc, bxc, anorm = state
+                else:
+                    x, ax, p, ap, xc, axc, anorm = state
                 fresh = jnp.zeros((m, n), x.dtype)
                 fresh = fresh.at[m - rcon:].set(jnp.asarray(fr))
-                x, _axk, xc, axc = lock_refresh(
-                    x, ax, xc, axc, jnp.asarray(self._nc, jnp.int32),
-                    jnp.asarray(mask), fresh)
-                self._nc += rcon
-                self._xc, self._axc = xc, axc
-                ax = self._mm(x).astype(x.dtype)
-                p = jnp.zeros_like(x)
-                ap = jnp.zeros_like(x)
-                state = (x, ax, p, ap, xc, axc, anorm)
+                if has_b:
+                    x, xc, axc, bxc = lock_refresh_b(
+                        x, ax, bx, xc, axc, bxc,
+                        jnp.asarray(self._nc, jnp.int32),
+                        jnp.asarray(mask), fresh)
+                    self._nc += rcon
+                    self._xc, self._axc, self._bxc = xc, axc, bxc
+                    bx = self._mm_b(x).astype(x.dtype)
+                    x, bx = entry_fix(x, bx, xc, bxc)
+                    ax = self._mm(x).astype(x.dtype)
+                    p = jnp.zeros_like(x)
+                    state = (x, ax, bx, p, jnp.zeros_like(x),
+                             jnp.zeros_like(x), xc, axc, bxc, anorm)
+                else:
+                    x, _axk, xc, axc = lock_refresh(
+                        x, ax, xc, axc, jnp.asarray(self._nc, jnp.int32),
+                        jnp.asarray(mask), fresh)
+                    self._nc += rcon
+                    self._xc, self._axc = xc, axc
+                    ax = self._mm(x).astype(x.dtype)
+                    p = jnp.zeros_like(x)
+                    ap = jnp.zeros_like(x)
+                    state = (x, ax, p, ap, xc, axc, anorm)
                 # slide per-slot host data: slots keep ascending-eigenvalue
                 # identity; top rcon slots are fresh
                 _shift_slot_data(self.cnv, self.lmd, self.res, acf,

@@ -28,8 +28,12 @@ def partial_hevp(A, B=None, T=None, buckling=False, sigma=0, which=6,
     ``engine`` selects the iteration engine for the preconditioned path:
     'core' is the reference-parity host-orchestrated block Jacobi-CG
     solver; 'device' the fully device-resident LOBPCG superkernel
-    (std problems with a jit-traceable preconditioner, e.g. Chebyshev);
-    'auto' picks 'device' whenever it applies on a device arch.
+    (std/gen problems with a jit-traceable preconditioner, e.g.
+    Chebyshev; block convergence control); 'jacobi' the chunked device
+    engine with per-vector convergence control and Solver-compatible
+    criteria (core/device_jacobi.py — std and gen via its B-inner-product
+    iteration); 'auto' picks 'device' whenever it applies on a device
+    arch.
 
     Returns (lmd, x, status).
     """
@@ -138,15 +142,18 @@ def partial_hevp(A, B=None, T=None, buckling=False, sigma=0, which=6,
         # the whole iteration is one XLA program instead of ~10
         # dispatches per iteration.  Generalized problems iterate in the
         # B-inner product (B must be positive definite).
-        if (engine in ('auto', 'device')
+        if (engine in ('auto', 'device', 'jacobi')
                 and not isinstance(which, tuple)
                 and str(arch).lower().startswith(('tpu', 'gpu', 'jax'))
                 and (T is None or hasattr(T, '_device_fused_rows'))):
+            if engine == 'jacobi':
+                return _device_jacobi_path(A, B, T, which, tol, verb, opt,
+                                           arch)
             return _device_path(A, B, T, which, tol, verb, opt, arch)
-        if engine == 'device':
-            raise ValueError("engine='device' needs an integer which, a"
+        if engine in ('device', 'jacobi'):
+            raise ValueError("engine='%s' needs an integer which, a"
                              " device arch, and a jit-traceable"
-                             " preconditioner")
+                             " preconditioner" % engine)
         opA = SparseSymmetricMatrix(A, arch=arch)
         n = opA.size()
         dtype = opA.data_type().type
@@ -218,6 +225,59 @@ def _device_path(A, B, T, which, tol, verb, opt, arch):
         print('iterations: %d, solve time: %.2e'
               % (niter, time.time() - start))
     return lmd, x, status
+
+
+def _device_jacobi_path(A, B, T, which, tol, verb, opt, arch):
+    """Per-triplet chunked device engine (core/device_jacobi.py) for
+    preconditioned std/gen problems: Solver-compatible convergence
+    criteria and per-vector locking, entirely on device.  The smallest
+    eigenpairs of (A, B) are the LARGEST of (-A, B), so the engine runs
+    on the negated operator (the preconditioner commutes with the sign)
+    and eigenvalues are negated back."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from ..algebra import dense_jax
+    from ..core.device_jacobi import DeviceJacobi
+    from ..core.solver import DefaultConvergenceCriteria
+    from ..ops.spmm import rows_matmat_operands
+
+    opA = SparseSymmetricMatrix(A, arch=arch)
+    n = opA.size()
+    fnA, opsA = rows_matmat_operands(opA.device_matrix())
+
+    def neg_matmat(ops, x):
+        return -fnA(ops, x)
+
+    fnB = opsB = None
+    if B is not None:
+        fnB, opsB = rows_matmat_operands(
+            SparseSymmetricMatrix(B, arch=arch).device_matrix())
+    precond = T._device_fused_rows() if T is not None else None
+    dtype = np.float64 if np.dtype(A.dtype).itemsize >= 8 and \
+        _x64_enabled() else np.float32
+    engine = DeviceJacobi(neg_matmat, n, dtype=dtype, precond=precond,
+                          operands=opsA, matmat_b=fnB, operands_b=opsB)
+    opt.convergence_criteria = (opt.convergence_criteria
+                                or DefaultConvergenceCriteria())
+    opt.convergence_criteria.set_error_tolerance('k eigenvector error',
+                                                 tol)
+    if opt.max_iter is None or opt.max_iter < 0:
+        opt.max_iter = 600
+    v = dense_jax.Vectors(n, data_type=dtype)
+    start = _time.time()
+    status = engine.solve(v, options=opt, nwanted=which,
+                          verb=max(verb, 0))
+    if verb > -1:
+        print('iterations: %d, solve time: %.2e'
+              % (engine.iteration, _time.time() - start))
+    lmd = -engine.eigenvalues
+    ind = np.argsort(lmd)
+    x = v.data().T
+    if x.shape[1] > 0:
+        x = x[:, ind]
+    return lmd[ind], x, status
 
 
 def _x64_enabled():

@@ -447,6 +447,37 @@ def _bsr_matmat(blocks, block_cols, block_rows, xtiles, nb):
     return jax.ops.segment_sum(prod, block_rows, num_segments=nb)
 
 
+def rows_matmat_operands(dm):
+    """(fn, operands) for a device sparse matrix: ``fn(operands, x)``
+    applies A to an (m, n) row block with the matrix payload passed as an
+    ARGUMENT pytree — the form the chunked engines jit over so the
+    compiled program contains no matrix literals (a new matrix would
+    otherwise mean a full recompile; see core/device_jacobi.py)."""
+    if isinstance(dm, DiaMatrix):
+        offs = dm.offsets
+
+        def fn(ops, x):
+            return _dia_matmat_rows(ops[0], x, offs)
+        return fn, (dm.val,)
+    if isinstance(dm, EllMatrix):
+        def fn(ops, x):
+            return _ell_matmat(ops[0], ops[1], x.T).T
+        return fn, (dm.idx, dm.val)
+    if isinstance(dm, BsrMatrix):
+        n, nb, bs, npd = dm.shape[0], dm.nb, dm.bs, dm.n_padded
+
+        def fn(ops, x):
+            blocks, cols, rows_ = ops
+            xt = x.T
+            if npd > n:
+                xt = jnp.pad(xt, ((0, npd - n), (0, 0)))
+            y = _bsr_matmat(blocks, cols, rows_,
+                            xt.reshape(nb, bs, -1), nb)
+            return y.reshape(npd, -1)[:n].T
+        return fn, (dm.blocks, dm.block_cols, dm.block_rows)
+    raise TypeError('unsupported device matrix %r' % type(dm).__name__)
+
+
 def device_sparse(a, dtype=np.float32, block_width_hint=32, bs=128,
                   max_dia_offsets=96, max_dia_waste=3.0):
     """Choose a device layout for the symmetric sparse matrix ``a``:

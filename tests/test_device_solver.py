@@ -350,3 +350,50 @@ def test_partial_hevp_generalized_device_engine():
     w = np.sort(spl.eigsh(a, M=b, k=5, sigma=0, which='LM',
                           return_eigenvectors=False))
     assert np.abs(np.sort(lmd)[:5] - w).max() / w.max() < 1e-4
+
+
+def test_device_jacobi_generalized():
+    """The chunked per-triplet engine on a generalized pencil A x = lmd B x:
+    the whole iteration runs in the B-inner product with tracked B-images
+    (VERDICT r3 item 5) — eigenvalues match scipy's dense eigh(A, B) and
+    the returned vectors are B-orthonormal."""
+    import jax.numpy as jnp
+    import scipy.linalg as sla
+    from raleigh_tpu.core.device_jacobi import DeviceJacobi
+    from raleigh_tpu.core.solver import Options, DefaultConvergenceCriteria
+    from raleigh_tpu.algebra import dense_jax
+
+    n = 400
+    rng = np.random.RandomState(3)
+    q = rng.standard_normal((n, n)) * 0.05
+    A = np.diag(np.linspace(1.0, 60.0, n)) + (q + q.T)
+    c = 0.2 * rng.standard_normal(n - 1)
+    B = np.diag(np.linspace(1.0, 2.0, n))
+    B[np.arange(n - 1), np.arange(1, n)] = c
+    B[np.arange(1, n), np.arange(n - 1)] = c          # SPD mass-like
+
+    def matmat(ops, x):
+        return jnp.matmul(x, ops[0].T)
+
+    engine = DeviceJacobi(matmat, n, dtype=np.float64,
+                          operands=(jnp.asarray(A),),
+                          matmat_b=matmat,
+                          operands_b=(jnp.asarray(B),))
+    v = dense_jax.Vectors(n, data_type=np.float64)
+    opt = Options()
+    opt.convergence_criteria = DefaultConvergenceCriteria()
+    opt.convergence_criteria.set_error_tolerance('k eigenvector error',
+                                                 1e-8)
+    opt.max_iter = 300
+    st = engine.solve(v, options=opt, nwanted=5)
+    assert st == 0
+    exact = sla.eigh(A, B, eigvals_only=True)
+    got = np.sort(engine.eigenvalues)[-5:]
+    assert np.abs(got - exact[-5:]).max() / abs(exact[-1]) < 1e-6
+    # returned eigenvectors are B-orthonormal rows
+    X = v.data()
+    g = X @ B @ X.T
+    assert np.abs(g - np.eye(X.shape[0])).max() < 1e-6
+    # per-triplet observability intact (Solver-compatible surface)
+    assert engine.residual_norms.shape[0] == engine.rcon
+    assert engine.eigenvalue_errors.kinematic.shape[0] == engine.rcon

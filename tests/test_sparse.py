@@ -281,3 +281,37 @@ def test_native_ilut():
     x1 = full.solve(b1)
     assert np.array_equal(b1, b[0])
     assert np.allclose(x1, x[0])
+
+
+def test_partial_hevp_device_jacobi_engine():
+    """engine='jacobi': the chunked per-triplet device engine behind the
+    partial_hevp front end, std (Chebyshev-preconditioned) and
+    generalized — smallest pairs via the negated-operator trick."""
+    import scipy.sparse as scs
+    import scipy.sparse.linalg as spl
+    from raleigh_tpu.algebra.sparse import Chebyshev, spectral_bounds
+    from raleigh_tpu.examples.laplace import lap3d, lap3d_eigenvalues
+    from raleigh_tpu.interfaces.partial_hevp import partial_hevp
+
+    a = lap3d(8, 8, 8, 1.0, 1.0, 1.0)
+    exact = np.sort(lap3d_eigenvalues(8, 8, 8, 1.0, 1.0, 1.0))[:5]
+    lo, hi = spectral_bounds(a)
+    ch = Chebyshev(a, lo, hi, degree=8, arch='tpu')
+    lmd, x, st = partial_hevp(a, T=ch, which=5, tol=1e-8, verb=-1,
+                              arch='tpu', engine='jacobi')
+    assert st == 0
+    assert np.abs(np.sort(lmd)[:5] - exact).max() / exact[-1] < 1e-6
+
+    # generalized pencil: SPD mass-like B
+    n = a.shape[0]
+    b = scs.diags([np.full(n - 1, 0.1), np.linspace(1.0, 1.5, n),
+                   np.full(n - 1, 0.1)], [-1, 0, 1], format='csr')
+    lmd_g, xg, st_g = partial_hevp(a, B=b, T=ch, which=4, tol=1e-7,
+                                   verb=-1, arch='tpu', engine='jacobi')
+    assert st_g == 0
+    want = np.sort(spl.eigsh(a, k=4, M=b, sigma=0, which='LM',
+                             return_eigenvectors=False))
+    assert np.abs(np.sort(lmd_g)[:4] - want).max() / abs(want[-1]) < 1e-5
+    # B-orthonormal eigenvectors
+    g = xg.T @ (b @ xg)
+    assert np.abs(g - np.eye(xg.shape[1])).max() < 1e-5
