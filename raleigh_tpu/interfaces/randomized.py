@@ -198,7 +198,18 @@ def _next_subspace_size(prof, tol, l, cap, trusted=None):
     # the predicted rank; never shrink the step below 1.5x (progress
     # guarantee), never exceed the cap
     target = int(np.ceil(min(1.25 * k_pred + 16, float(cap))))
-    return int(min(max(target, (3 * l) // 2), cap))
+    return _bucket(int(min(max(target, (3 * l) // 2), cap)), cap)
+
+
+def _bucket(l, cap, q=128):
+    """Round a subspace size up to a multiple of ``q`` (clamped at the
+    cap).  Every distinct subspace size is a fresh large XLA program;
+    data-dependent sizes would give every run novel shapes that miss the
+    persistent compilation cache (and on a tunneled device pay a remote
+    compile of minutes).  Bucketing makes the size sequence recur across
+    runs and datasets, so steady-state tolerance-mode PCA compiles
+    nothing."""
+    return int(min(-(-l // q) * q, cap))
 
 
 @partial(jax.jit, static_argnames=('npc',))
@@ -348,7 +359,7 @@ def subspace_pca_update(have, a1, npc=-1, tol=0, norm='f', max_npc=-1,
         k = npc
     else:
         cap = m if max_npc is None or max_npc < 1 else min(2 * max_npc, m)
-        l = min(max(128, 2 * comps0.shape[0]), cap)
+        l = _bucket(min(max(128, 2 * comps0.shape[0]), cap), cap)
         stage_tol = 0.5 * tol
         while True:
             lmd, u = _gram_subspace(G, key, int(l), int(iters))

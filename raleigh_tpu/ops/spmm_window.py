@@ -21,8 +21,15 @@ lane-dim slices of the window.  Two variants share the contract:
     implementation and for A/B measurement).
 
 Measured on a v5e at n = 1.28e6 (lap3d 100x100x128, m = 32, tile 32k):
-ring 343 GB/s effective vs slide 331 GB/s vs fused XLA 156 GB/s, against
-a ~656 GB/s measured stream roofline (see STATUS.md roofline note).
+ring 343 GB/s effective vs slide 331 / tile-ring 338 vs fused XLA
+156 GB/s.  Round-4 roofline attribution (STATUS.md): a PURE COPY through
+the same Pallas grid pipeline measures ~330-380 GB/s (in+out) across
+every tile size (8k..128k), layout (strided row blocks vs contiguous
+tile-major) and DMA split (1/2/4 concurrent copies per step) — the
+diagonal compute is fully hidden (copy and 7-term stencil time are equal
+to 1%), so these kernels SATURATE what a Pallas/Mosaic-pipelined kernel
+can stream on this device.  A plain XLA elementwise copy does ~620 GB/s;
+that 2x is Mosaic grid-pipeline efficiency, not kernel structure.
 
 Constraints (host-side asserts, so the Mosaic compiler never sees an
 invalid kernel): row-vector (m, n) operand layout, n a multiple of 128
@@ -178,8 +185,15 @@ def build_dia_window_ring(offsets, val, n, m, tile=32768,
     )
 
     @jax.jit
+    def _run(x, v):
+        return call(x, v)
+
     def apply(x):
-        return call(x, val_p)
+        # val flows in as an ARGUMENT: a closure-captured jax.Array would
+        # be baked into the compiled program as a literal, making every
+        # matrix a fresh (multi-minute, remote) compile and defeating the
+        # persistent cache (see core/device_jacobi.py)
+        return _run(x, val_p)
 
     return apply
 
@@ -308,8 +322,15 @@ def build_dia_window_slide(offsets, val, n, m, tile=32768,
     )
 
     @jax.jit
+    def _run(x, v):
+        return call(x, v)
+
     def apply(x):
-        return call(x, val_p)
+        # val flows in as an ARGUMENT: a closure-captured jax.Array would
+        # be baked into the compiled program as a literal, making every
+        # matrix a fresh (multi-minute, remote) compile and defeating the
+        # persistent cache (see core/device_jacobi.py)
+        return _run(x, val_p)
 
     return apply
 
@@ -352,22 +373,23 @@ def build_dia_window_tiles(offsets, val, n, m, tile=32768,
     val_p = jnp.asarray(vp)
     w_last = n - (nsteps - 1) * T          # valid width of the last tile
 
-    def kern(x_hbm, val_ref, y_ref, ring, sems):
+    def kern(x_hbm, val_ref, y_ref, r0, r1, r2, r3, sems):
         i = pl.program_id(0)
+        ring = (r0, r1, r2, r3)   # Mosaic: rank-2 scratch refs only
 
         def tile_dma(t, slot, w):
             return pltpu.make_async_copy(
                 x_hbm.at[:, pl.ds(t * T, w)],
-                ring.at[slot, :, pl.ds(0, w)], sems.at[slot])
+                ring[slot].at[:, pl.ds(0, w)], sems.at[slot])
 
         def fetch(t, slot):
             """Start the DMA for body tile ``t`` into ``slot`` —
             zero-filling first when the tile is partial or absent."""
             if t >= nsteps:
-                ring[slot] = jnp.zeros((m, T), jnp.float32)
+                ring[slot][...] = jnp.zeros((m, T), jnp.float32)
                 return
             if t == nsteps - 1 and w_last < T:
-                ring[slot] = jnp.zeros((m, T), jnp.float32)
+                ring[slot][...] = jnp.zeros((m, T), jnp.float32)
                 tile_dma(t, slot, w_last).start()
             else:
                 tile_dma(t, slot, T).start()
@@ -385,7 +407,7 @@ def build_dia_window_tiles(offsets, val, n, m, tile=32768,
             # slot layout at step 0: tile -1 -> slot 3 (zeros),
             # tile 0 -> slot 0 (awaited now), tiles 1 and 2 -> slots 1, 2
             # (left in flight; awaited at steps 0 and 1)
-            ring[3] = jnp.zeros((m, T), jnp.float32)
+            ring[3][...] = jnp.zeros((m, T), jnp.float32)
             fetch(0, 0)
             fetch(1, 1)
             fetch(2, 2)
@@ -406,32 +428,59 @@ def build_dia_window_tiles(offsets, val, n, m, tile=32768,
             def _(s=s):
                 fetch(s + 2, (s + 2) % 4)
 
+        # two-tier compute: lane-ALIGNED offsets read region-sliced
+        # sources (regions split at the aligned crossing points, so every
+        # slice and every val broadcast is lane-aligned — Mosaic rejects
+        # only UNALIGNED (1, w) broadcasts); the few unaligned offsets
+        # (e.g. +-1) become full-width lane rotations stitched across the
+        # tile boundary by a lane-index select
+        unal = [k for k in range(noff) if offsets[k] % 128]
+        al = [k for k in range(noff) if offsets[k] % 128 == 0]
+        bounds = sorted({0, T}
+                        | {-offsets[k] for k in al
+                           if -T < offsets[k] < 0}
+                        | {T - offsets[k] for k in al
+                           if 0 < offsets[k] < T})
+        regions = list(zip(bounds[:-1], bounds[1:]))
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (m, T), 1)
+
         def compute(prev, cur, nxt):
             acc = None
-            for k in range(noff):
+            for k in unal:
                 off = offsets[k]
-                vk = val_ref[k]
-                if off == 0:
-                    term = vk[None, :] * cur
-                    acc = term if acc is None else acc + term
-                    continue
+                s = (-off) % T          # roll(x, s)[t] = x[(t - s) % T]
                 if off > 0:
-                    # t in [0, T-off): cur[off+t]; t in [T-off, T): nxt
-                    a = T - off
-                    upd_lo = vk[None, :a] * cur[:, off:]
-                    upd_hi = vk[None, a:] * nxt[:, :off]
+                    sh = jnp.where(lanes < T - off,
+                                   pltpu.roll(cur, s, 1),
+                                   pltpu.roll(nxt, s, 1))
                 else:
-                    a = -off
-                    upd_lo = vk[None, :a] * prev[:, T + off:]
-                    upd_hi = vk[None, a:] * cur[:, :T + off]
-                both = jnp.concatenate([upd_lo, upd_hi], axis=1)
-                acc = both if acc is None else acc + both
-            y_ref[:, :] = acc
+                    sh = jnp.where(lanes >= -off,
+                                   pltpu.roll(cur, s, 1),
+                                   pltpu.roll(prev, s, 1))
+                term = val_ref[k][None, :] * sh
+                acc = term if acc is None else acc + term
+            for rlo, rhi in regions:
+                wreg = rhi - rlo
+                acc_r = None if acc is None else acc[:, rlo:rhi]
+                for k in al:
+                    off = offsets[k]
+                    lo2 = rlo + off
+                    if lo2 < 0:
+                        src, s0 = prev, lo2 + T
+                    elif lo2 >= T:
+                        src, s0 = nxt, lo2 - T
+                    else:
+                        src, s0 = cur, lo2
+                    term = val_ref[k][None, :][:, rlo:rhi] * \
+                        src[:, s0:s0 + wreg]
+                    acc_r = term if acc_r is None else acc_r + term
+                y_ref[:, rlo:rhi] = acc_r
 
         for r in range(4):
             @pl.when(i % 4 == r)
             def _(r=r):
-                compute(ring[(r - 1) % 4], ring[r], ring[(r + 1) % 4])
+                compute(ring[(r - 1) % 4][...], ring[r][...],
+                        ring[(r + 1) % 4][...])
 
     call = pl.pallas_call(
         kern,
@@ -442,7 +491,10 @@ def build_dia_window_tiles(offsets, val, n, m, tile=32768,
         out_specs=pl.BlockSpec((m, T), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((4, m, T), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((m, T), jnp.float32),
+                        pltpu.VMEM((m, T), jnp.float32),
+                        pltpu.VMEM((m, T), jnp.float32),
+                        pltpu.VMEM((m, T), jnp.float32),
                         pltpu.SemaphoreType.DMA((4,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -450,8 +502,15 @@ def build_dia_window_tiles(offsets, val, n, m, tile=32768,
     )
 
     @jax.jit
+    def _run(x, v):
+        return call(x, v)
+
     def apply(x):
-        return call(x, val_p)
+        # val flows in as an ARGUMENT: a closure-captured jax.Array would
+        # be baked into the compiled program as a literal, making every
+        # matrix a fresh (multi-minute, remote) compile and defeating the
+        # persistent cache (see core/device_jacobi.py)
+        return _run(x, val_p)
 
     return apply
 
