@@ -201,7 +201,11 @@ def _time_chain_marginal(make_chain, x, reps_lo=100, reps_hi=400):
         np.asarray(c(x).ravel()[:4])
         return time.time() - t0
 
-    t_lo, t_hi = run(reps_lo), run(reps_hi)
+    # a transient tunnel/host stall in either leg skews the difference
+    # (even to "impossibly fast"); the min over repeats of each leg is
+    # the stall-free estimate of that leg
+    t_lo = min(run(reps_lo), run(reps_lo))
+    t_hi = min(run(reps_hi), run(reps_hi))
     return max(t_hi - t_lo, 1e-9) / (reps_hi - reps_lo)
 
 
@@ -321,7 +325,26 @@ def _extra_dia_spmm_hbm():
     dt = _time_chain_marginal(make_chain, x, reps_lo=50, reps_hi=200)
     gnnz = d.nnz / dt / 1e9
     gbps = (len(d.offsets) * n * 4 + 2 * n * m * 4) / dt / 1e9
-    return round(gnnz, 3), round(gbps, 1)
+
+    # bf16 operand streaming (f32 values + accumulation): halves the
+    # streamed bytes, and the kernel sits at the Pallas streaming
+    # roofline, so nnz/s ~doubles — the opt-in for tolerant workloads.
+    # GB/s is PHYSICAL bytes (honest at the smaller operand width)
+    xb = x.astype(jnp.bfloat16)
+    yb = d.matmat_rows_window(xb)
+    fnb = d._window_cache[(m, n, 32768, False, 'bfloat16')]
+
+    def make_chain_b(reps):
+        @jax.jit
+        def chain(xx):
+            return lax.fori_loop(0, reps, lambda i, yy: fnb(yy), xx)
+        return chain
+
+    dtb = _time_chain_marginal(make_chain_b, xb, reps_lo=50, reps_hi=200)
+    gnnz_b = d.nnz / dtb / 1e9
+    gbps_b = (len(d.offsets) * n * 4 + 2 * n * m * 2) / dtb / 1e9
+    return round(gnnz, 3), round(gbps, 1), round(gnnz_b, 3), \
+        round(gbps_b, 1)
 
 
 def _extra_pca_tol(a):
@@ -418,6 +441,8 @@ def child_main():
                 hbm = _extra_dia_spmm_hbm()
                 result['extra']['dia_spmm_hbm_gnnz_per_s'] = hbm[0]
                 result['extra']['dia_spmm_hbm_gb_per_s'] = hbm[1]
+                result['extra']['dia_spmm_hbm_bf16_gnnz_per_s'] = hbm[2]
+                result['extra']['dia_spmm_hbm_bf16_gb_per_s'] = hbm[3]
                 result['extra']['pallas_copy_roofline_gb_per_s'] = \
                     _extra_pallas_copy_roofline()
     except Exception as e:                          # noqa: BLE001

@@ -391,6 +391,48 @@ class Chebyshev:
         self.__fused_rows = run
         return run
 
+    def device_rows_operands(self, m, n=None, dtype=None, tile=32768):
+        """Argument-form fused recurrence for superkernel consumers:
+        (fn, operands) with ``fn(operands, w)`` applying the whole
+        ``degree``-step Chebyshev recurrence to an (m, n) row block.  The
+        matrix payload flows through the consumer's jit as ARGUMENTS
+        (see ops/spmm.py ``rows_operand_form``), so the compiled
+        superkernel contains no matrix literals — pass the pair straight
+        to ``core.device_solver.lobpcg(precond=...)``."""
+        import jax.numpy as jnp
+
+        from ..ops.spmm import rows_matmat_operands
+
+        dev = self.__dev_override or self.__op.device_matrix()
+        if n is None:
+            n = dev.shape[0]
+        if dtype is None:
+            dtype = jnp.float32
+        if hasattr(dev, 'rows_operand_form'):
+            mat_fn, ops = dev.rows_operand_form(m, n, dtype=dtype,
+                                                tile=tile)
+        else:
+            mat_fn, ops = rows_matmat_operands(dev)
+        theta = 0.5 * (self.hi + self.lo)
+        delta = 0.5 * (self.hi - self.lo)
+        sigma1 = theta / delta
+        degree = self.degree
+
+        def fn(ops, x):
+            rho = 1.0 / sigma1
+            d = x / theta
+            r = x
+            y = None
+            for _ in range(degree):
+                y = d if y is None else y + d
+                r = r - mat_fn(ops, d).astype(x.dtype)
+                rho_new = 1.0 / (2.0 * sigma1 - rho)
+                d = (rho * rho_new) * d + (2.0 * rho_new / delta) * r
+                rho = rho_new
+            return y
+
+        return fn, ops
+
     def apply(self, x, y):
         """y ~= A^-1 x: Chebyshev iteration for A y = x with y0 = 0,
         eigenvalue bounds [lo, hi]."""

@@ -204,6 +204,36 @@ def _rows_matmat(op, sharded):
     return apply_rows
 
 
+def _rows_matmat_ops(op, m, n, dtype, sharded):
+    """Argument-form twin of ``_rows_matmat``: (fn, operands) with
+    ``fn(operands, v)`` so the matrix payload flows through the
+    superkernel as jit ARGUMENTS.  A closure-captured payload becomes a
+    compiled-in literal: every matrix a fresh multi-minute remote
+    compile, and at HBM sizes the program upload itself can exceed the
+    remote compiler's request limit (HTTP 413)."""
+    if op is None:
+        return None, ()
+    if hasattr(op, 'rows_operand_form'):             # DiaMatrix
+        if sharded and not op._multi_device():
+            # operand sharded, values on one device: GSPMD must
+            # partition, so pin the fused XLA kernel
+            from ..ops.spmm import _dia_matmat_rows
+            offs = op.offsets
+
+            def fn(ops, v):
+                return _dia_matmat_rows(ops[0], v, offs)
+            return fn, (op.val,)
+        return op.rows_operand_form(m, n, dtype=dtype)
+    from ..ops.spmm import BsrMatrix, EllMatrix, rows_matmat_operands
+    if isinstance(op, (EllMatrix, BsrMatrix)):
+        return rows_matmat_operands(op)
+    f0 = _rows_matmat(op, sharded)
+
+    def fn(ops, v):
+        return f0(v)
+    return fn, ()
+
+
 def lobpcg(op, k, n=None, opB=None, precond=None, block_size=None,
            tol=1e-4, maxit=500, chunk=16, largest=False, x0=None,
            constraints=None, seed=1, dtype=np.float32, verb=0,
@@ -245,25 +275,30 @@ def lobpcg(op, k, n=None, opB=None, precond=None, block_size=None,
     0 = converged, 2 = iteration limit (solver status convention,
     reference core/solver.py:305-331).
     """
-    matmat0 = _rows_matmat(op, sharding is not None)
-
-    def matmat(v):
-        # the operator (and preconditioner) may hold values in a different
-        # precision; the iteration dtype is authoritative for the carries
-        return matmat0(v).astype(v.dtype)
-    if opB is None:
-        def matmat_b(v):
-            return v
-    else:
-        matmat_b0 = _rows_matmat(opB, sharding is not None)
-
-        def matmat_b(v):
-            return matmat_b0(v).astype(v.dtype)
     if n is None:
         n = op.shape[0]
     m = block_size or min(n, k + max(8, k // 4))
     if m < k:
         raise ValueError('block_size < k')
+    jdt = np.dtype(dtype)
+    matmat_fn, ops_a = _rows_matmat_ops(op, m, n, jdt,
+                                        sharding is not None)
+
+    def matmat(v):
+        # the operator (and preconditioner) may hold values in a different
+        # precision; the iteration dtype is authoritative for the carries
+        return matmat_fn(ops_a, v).astype(v.dtype)
+    if opB is None:
+        matmat_b_fn, ops_b = None, ()
+
+        def matmat_b(v):
+            return v
+    else:
+        matmat_b_fn, ops_b = _rows_matmat_ops(opB, m, n, jdt,
+                                              sharding is not None)
+
+        def matmat_b(v):
+            return matmat_b_fn(ops_b, v).astype(v.dtype)
     eps = float(np.finfo(np.dtype(dtype).type(0).real.dtype).eps)
     eps_rel = 100 * eps
     sqrt_eps = float(np.sqrt(eps))
@@ -283,9 +318,19 @@ def lobpcg(op, k, n=None, opB=None, precond=None, block_size=None,
         sharding = NamedSharding(sharding.mesh,
                                  PartitionSpec(spec[1], spec[0]))
 
+    # precond: None, a plain row-layout callable, or the argument-form
+    # (fn, operands) pair (e.g. Chebyshev.device_rows_operands()) whose
+    # payload then flows through the superkernel as jit arguments
     if precond is None:
-        def precond(w):
+        def precond_fn(ops, w):
             return w
+        ops_p = ()
+    elif isinstance(precond, tuple):
+        precond_fn, ops_p = precond
+    else:
+        def precond_fn(ops, w, _p=precond):
+            return _p(w)
+        ops_p = ()
 
     # ---- constraints: B-orthonormalize once, precompute A/B-images -----
     if constraints is not None and np.size(constraints) > 0:
@@ -302,7 +347,25 @@ def lobpcg(op, k, n=None, opB=None, precond=None, block_size=None,
         ay = by = y
 
     @partial(jax.jit, static_argnames=('iters',))
-    def run(x, ax, bx, p, ap, bp, anorm, iters):
+    def run(x, ax, bx, p, ap, bp, anorm, y, ay, by, opsA, opsB, opsP,
+            iters):
+        # operator/preconditioner payloads and the constraint blocks are
+        # ARGUMENTS of the superkernel: the compiled program contains no
+        # matrix literals, so it caches across matrices and never hits
+        # the remote compiler's upload limit
+        def matmat(v):
+            return matmat_fn(opsA, v).astype(v.dtype)
+
+        if opB is not None:
+            def matmat_b(v):
+                return matmat_b_fn(opsB, v).astype(v.dtype)
+        else:
+            def matmat_b(v):
+                return v
+
+        def precond(w):
+            return precond_fn(opsP, w)
+
         def body(_, state):
             x, ax, bx, p, ap, bp, anorm = state
             # re-deflate X against the constraints every iteration with
@@ -429,7 +492,8 @@ def lobpcg(op, k, n=None, opB=None, precond=None, block_size=None,
     while niter < maxit:
         iters = min(chunk, maxit - niter)
         state_in = (x, ax, bx, p, ap, bp, anorm)
-        x, ax, bx, p, ap, bp, anorm, lam, resid = run(*state_in, iters)
+        x, ax, bx, p, ap, bp, anorm, lam, resid = run(
+            *state_in, y, ay, by, ops_a, ops_b, ops_p, iters)
         niter += iters
         lam_t, resid_t, anorm_t = jax.device_get((lam, resid, anorm))
         if not (np.all(np.isfinite(lam_t)) and np.all(np.isfinite(resid_t))):

@@ -209,7 +209,6 @@ def _device_path(A, B, T, which, tol, verb, opt, arch):
     dev = opA.device_matrix()
     devB = (SparseSymmetricMatrix(B, arch=arch).device_matrix()
             if B is not None else None)
-    precond = T._device_fused_rows() if T is not None else None
     maxit = getattr(opt, 'max_iter', -1)
     if maxit is None or maxit < 0:
         maxit = 600
@@ -217,6 +216,17 @@ def _device_path(A, B, T, which, tol, verb, opt, arch):
     block = None if block is None or block < which else block
     dtype = np.float64 if np.dtype(A.dtype).itemsize >= 8 and \
         _x64_enabled() else np.float32
+    n = dev.shape[0]
+    m = block or min(n, which + max(8, which // 4))
+    precond = None
+    if T is not None:
+        # argument-form fused recurrence when available: the matrix
+        # payload then flows through the LOBPCG superkernel as jit
+        # arguments (compiled program caches across matrices)
+        if hasattr(T, 'device_rows_operands'):
+            precond = T.device_rows_operands(m, n, dtype=np.dtype(dtype))
+        else:
+            precond = T._device_fused_rows()
     start = time.time()
     lmd, x, resid, niter, status = lobpcg(
         dev, which, opB=devB, precond=precond, block_size=block, tol=tol,

@@ -98,7 +98,7 @@ class DiaMatrix:
         back to the fused XLA kernel when the window constraints don't
         hold (small n, unaligned n, non-f32)."""
         m, n = x.shape
-        key = (m, n, tile, bool(interpret))
+        key = (m, n, tile, bool(interpret), str(x.dtype))
         fn = self._window_cache.get(key) if hasattr(
             self, '_window_cache') else None
         if fn is None:
@@ -106,7 +106,7 @@ class DiaMatrix:
                 from .spmm_window import build_dia_window_matmat
                 fn = build_dia_window_matmat(
                     self.offsets, np.asarray(self.val), n, m, tile=tile,
-                    interpret=interpret)
+                    interpret=interpret, operand_dtype=x.dtype)
             except ValueError:
                 def fn(xx):
                     return _dia_matmat(self.val, xx.T, self.offsets).T
@@ -142,18 +142,66 @@ class DiaMatrix:
         GSPMD-partitioned fused kernel when its constraints fail."""
         m, n = x.shape
         noff = len(self.offsets)
-        ws = (2 * m + noff) * n * 4
+        xbytes = 2 if x.dtype == jnp.bfloat16 else 4
+        ws = 2 * m * n * xbytes + noff * n * 4
         if self._multi_device():
             fn = self.sharded_rows_fn(m, n, x.dtype, tile=tile)
             if fn is not None:
                 return fn(x)
             return _dia_matmat_rows(self.val, x, self.offsets)
         if (ws > self.WINDOW_HBM_BYTES and n % 128 == 0
-                and x.dtype == jnp.float32
+                and x.dtype in (jnp.float32, jnp.bfloat16)
                 and self.val.dtype == jnp.float32
                 and -(-n // max(tile, 128)) >= 2):
             return self.matmat_rows_window(x, tile=tile)
         return _dia_matmat_rows(self.val, x, self.offsets)
+
+    def rows_operand_form(self, m, n, dtype=jnp.float32, tile=32768):
+        """(fn, operands) argument-form of ``matmat_rows`` with the
+        routing decided NOW from the static shapes: ``fn(operands, x)``
+        applies A to an (m, n) row block with the diagonal values
+        flowing through as arguments.  Superkernels (LOBPCG, fused
+        Chebyshev) trace ``fn`` inside their own jit, so the matrix
+        payload never becomes a compiled-in literal — without this,
+        every new matrix is a fresh multi-minute remote compile, and at
+        HBM sizes the program upload itself can exceed the remote
+        compiler's request limit."""
+        offsets = self.offsets
+        noff = len(offsets)
+        if self._multi_device():
+            f = self.sharded_rows_fn(m, n, dtype, tile=tile)
+            if f is not None:
+                fn0 = f.operand_fn
+
+                def fn(ops, x):
+                    return fn0(ops[0], x)
+                return fn, (self.val,)
+
+            def fn(ops, x):
+                return _dia_matmat_rows(ops[0], x, offsets)
+            return fn, (self.val,)
+        xbytes = 2 if dtype == jnp.bfloat16 else 4
+        ws = 2 * m * n * xbytes + noff * n * 4
+        if (ws > self.WINDOW_HBM_BYTES and n % 128 == 0
+                and dtype in (jnp.float32, jnp.bfloat16)
+                and self.val.dtype == jnp.float32
+                and -(-n // max(tile, 128)) >= 2):
+            try:
+                from .spmm_window import build_dia_window_matmat
+                w = build_dia_window_matmat(
+                    self.offsets, np.asarray(self.val), n, m, tile=tile,
+                    operand_dtype=dtype)
+                wfn = w.operand_fn
+
+                def fn(ops, x):
+                    return wfn(x, ops[0])
+                return fn, (w.operand,)
+            except ValueError:
+                pass
+
+        def fn(ops, x):
+            return _dia_matmat_rows(ops[0], x, offsets)
+        return fn, (self.val,)
 
     def sharded_rows_fn(self, m, n, dtype=jnp.float32, tile=32768,
                         interpret=False, force_window=None):
@@ -261,6 +309,8 @@ class DiaMatrix:
         def apply(x):
             return mapped(self.val, x)
 
+        # argument-form hook (see rows_operand_form)
+        apply.operand_fn = mapped
         self._window_cache[key] = apply
         return apply
 
@@ -500,4 +550,11 @@ def device_sparse(a, dtype=np.float32, block_width_hint=32, bs=128,
         fill = csr.nnz / (ntiles * bs * bs)
         if fill * min(block_width_hint, 128) >= 8.0:
             return BsrMatrix(csr, dtype=dtype, bs=bs)
+    # ELL pads every row to the MAX degree: a few hub rows (e.g. a
+    # boundary-condition row coupled to everything) would inflate the
+    # padded storage K*n arbitrarily — route degree-skewed patterns to
+    # BSR, whose storage is bounded by the nonempty tiles
+    deg_max = int(np.diff(csr.indptr).max()) if n else 0
+    if n and deg_max * n > 16 * max(csr.nnz, 1) and n >= bs:
+        return BsrMatrix(csr, dtype=dtype, bs=bs)
     return EllMatrix(csr, dtype=dtype)

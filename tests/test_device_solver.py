@@ -397,3 +397,47 @@ def test_device_jacobi_generalized():
     # per-triplet observability intact (Solver-compatible surface)
     assert engine.residual_norms.shape[0] == engine.rcon
     assert engine.eigenvalue_errors.kinematic.shape[0] == engine.rcon
+
+
+def test_window_kernel_bf16_operands():
+    """bf16 operand streaming through the ring-window kernel (f32 values
+    and accumulation): halves the streamed bytes for tolerant workloads;
+    results match the f32 path at bf16 precision."""
+    import jax.numpy as jnp
+    from raleigh_tpu.ops.spmm import DiaMatrix
+    from raleigh_tpu.ops.spmm_window import build_dia_window_ring
+
+    a = lap3d(8, 8, 16, 1.0, 1.0, 1.0)
+    d = DiaMatrix(a)
+    n = d.shape[0]
+    m = 4
+    x = np.random.RandomState(0).randn(m, n).astype(np.float32)
+    ref = (a @ x.T).T
+    fn = build_dia_window_ring(d.offsets, np.asarray(d.val), n, m,
+                               tile=256, interpret=True,
+                               operand_dtype=jnp.bfloat16)
+    y = np.asarray(fn(jnp.asarray(x).astype(jnp.bfloat16))
+                   .astype(jnp.float32))
+    assert y.dtype == np.float32
+    rel = np.abs(y - ref).max() / np.abs(ref).max()
+    assert rel < 2e-2                      # bf16 operand precision
+    # routing: a bf16 operand block takes the window path when eligible
+    assert np.abs(np.asarray(
+        d.matmat_rows(jnp.asarray(x).astype(jnp.bfloat16))
+        .astype(jnp.float32)) - ref).max() / np.abs(ref).max() < 2e-2
+
+
+def test_device_sparse_hub_rows_avoid_ell():
+    """A degree-skewed pattern (hub rows) must not route to ELL, whose
+    max-degree padding would inflate storage arbitrarily."""
+    import scipy.sparse as scs
+    from raleigh_tpu.ops.spmm import device_sparse
+
+    rng = np.random.default_rng(2)
+    n = 2000
+    a = scs.random(n, n, density=0.002, random_state=1, format='lil')
+    a[0, :] = 1.0                      # hub row coupled to everything
+    a = scs.csr_matrix(a)
+    a = a + a.T + scs.eye(n)
+    dm = device_sparse(a)
+    assert type(dm).__name__ != 'EllMatrix'
