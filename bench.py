@@ -312,9 +312,11 @@ def _extra_dia_spmm_hbm():
     a = lap3d(100, 100, 128, 1.0, 1.0, 1.0) * 0.125
     d = DiaMatrix(a)
     n = d.shape[0]
+    from raleigh_tpu.ops.spmm_window import build_dia_window_matmat
+
     x = jax.random.normal(jax.random.PRNGKey(1), (m, n), jnp.float32)
-    y = d.matmat_rows_window(x)          # build + compile + run once
-    fn = d._window_cache[(m, n, 32768, False)]
+    fn = build_dia_window_matmat(d.offsets, np.asarray(d.val), n, m,
+                                 tile=32768)
 
     def make_chain(reps):
         @jax.jit
@@ -331,8 +333,9 @@ def _extra_dia_spmm_hbm():
     # roofline, so nnz/s ~doubles — the opt-in for tolerant workloads.
     # GB/s is PHYSICAL bytes (honest at the smaller operand width)
     xb = x.astype(jnp.bfloat16)
-    yb = d.matmat_rows_window(xb)
-    fnb = d._window_cache[(m, n, 32768, False, 'bfloat16')]
+    fnb = build_dia_window_matmat(d.offsets, np.asarray(d.val), n, m,
+                                  tile=32768,
+                                  operand_dtype=jnp.bfloat16)
 
     def make_chain_b(reps):
         @jax.jit

@@ -123,7 +123,16 @@ class DeviceJacobi:
         self.matmat = matmat
         self.dim = int(dim)
         self.dtype = np.dtype(dtype).type
-        self.precond = precond
+        # precond: plain row-layout callable, or argument-form
+        # (fn, operands) (e.g. Chebyshev.device_rows_operands()) whose
+        # payload then flows through the chunk superkernel as arguments
+        if isinstance(precond, tuple):
+            self.precond, self._operands_p = precond
+            self._precond_has_ops = True
+        else:
+            self.precond = precond
+            self._operands_p = ()
+            self._precond_has_ops = False
         self._operands = operands
         self.matmat_b = matmat_b
         self._operands_b = operands_b
@@ -184,7 +193,8 @@ class DeviceJacobi:
         matmat_b0 = self.matmat_b
         has_ops_b = self._operands_b is not None
         has_b = self.has_b
-        precond = self.precond
+        precond0 = self.precond
+        precond_has_ops = self._precond_has_ops
         eps = float(np.finfo(np.dtype(self.dtype).type(0).real.dtype).eps)
         eps_rel = 100 * eps
         sqrt_eps = float(np.sqrt(eps))
@@ -288,11 +298,13 @@ class DeviceJacobi:
             return x, ax, x, p, ap, p, xc, axc, xc, anorm
 
         @partial(jax.jit, static_argnames=('iters',), donate_argnums=(0,))
-        def run_chunk(state, ops, ops_b, iters):
+        def run_chunk(state, ops, ops_b, ops_p, iters):
             matmat = (lambda x: matmat0(ops, x)) if has_ops else matmat0
             if has_b:
                 matmat_b = (lambda x: matmat_b0(ops_b, x)) if has_ops_b \
                     else matmat_b0
+            precond = (lambda w: precond0(ops_p, w)) if precond_has_ops \
+                else precond0
 
             def body(t, carry):
                 x, ax, bx, p, ap, bp, xc, axc, bxc, anorm, lam_h, dx_h = \
@@ -617,7 +629,8 @@ class DeviceJacobi:
                 break
             iters = int(min(chunk, max(1, max_iter - np.amax(iterations))))
             state, lam_k, res_k, lam_h_k, dx_h_k, ge_k = run_chunk(
-                state, self._operands, self._operands_b, iters)
+                state, self._operands, self._operands_b,
+                self._operands_p, iters)
             # run_chunk donates its input state: re-point the constraint
             # buffers at the live copies
             if has_b:

@@ -264,9 +264,22 @@ def _device_jacobi_path(A, B, T, which, tol, verb, opt, arch):
     if B is not None:
         fnB, opsB = rows_matmat_operands(
             SparseSymmetricMatrix(B, arch=arch).device_matrix())
-    precond = T._device_fused_rows() if T is not None else None
     dtype = np.float64 if np.dtype(A.dtype).itemsize >= 8 and \
         _x64_enabled() else np.float32
+    # fix the block size now so the argument-form preconditioner is
+    # built for the exact block shape the engine will iterate
+    block = getattr(opt, 'block_size', -1)
+    if block is None or block < 1:
+        block = 128 if which > 100 else max(16, which + which // 4)
+    block = min(block, max(8, n // 4))
+    opt.block_size = block
+    precond = None
+    if T is not None:
+        if hasattr(T, 'device_rows_operands'):
+            precond = T.device_rows_operands(block, n,
+                                             dtype=np.dtype(dtype))
+        else:
+            precond = T._device_fused_rows()
     engine = DeviceJacobi(neg_matmat, n, dtype=dtype, precond=precond,
                           operands=opsA, matmat_b=fnB, operands_b=opsB)
     opt.convergence_criteria = (opt.convergence_criteria
