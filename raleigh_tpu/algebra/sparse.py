@@ -391,14 +391,24 @@ class Chebyshev:
         self.__fused_rows = run
         return run
 
-    def device_rows_operands(self, m, n=None, dtype=None, tile=32768):
+    def device_rows_operands(self, m, n=None, dtype=None, tile=32768,
+                             stream_bf16=False):
         """Argument-form fused recurrence for superkernel consumers:
         (fn, operands) with ``fn(operands, w)`` applying the whole
         ``degree``-step Chebyshev recurrence to an (m, n) row block.  The
         matrix payload flows through the consumer's jit as ARGUMENTS
         (see ops/spmm.py ``rows_operand_form``), so the compiled
         superkernel contains no matrix literals — pass the pair straight
-        to ``core.device_solver.lobpcg(precond=...)``."""
+        to ``core.device_solver.lobpcg(precond=...)``.
+
+        ``stream_bf16=True`` runs the recurrence's iterates in bfloat16
+        (f32 diagonal values and accumulation inside the SpMM, f32 in
+        and out): the window kernel sits at the HBM streaming roofline,
+        so at HBM-resident sizes this nearly doubles the preconditioner
+        throughput.  A preconditioner is an APPROXIMATE inverse — its
+        own quality target is percent-level — so bf16 iterate rounding
+        costs convergence nothing; the solver's accuracy is set by the
+        f32/f64 outer iteration, not by T."""
         import jax.numpy as jnp
 
         from ..ops.spmm import rows_matmat_operands
@@ -408,8 +418,9 @@ class Chebyshev:
             n = dev.shape[0]
         if dtype is None:
             dtype = jnp.float32
+        it_dtype = jnp.bfloat16 if stream_bf16 else dtype
         if hasattr(dev, 'rows_operand_form'):
-            mat_fn, ops = dev.rows_operand_form(m, n, dtype=dtype,
+            mat_fn, ops = dev.rows_operand_form(m, n, dtype=it_dtype,
                                                 tile=tile)
         else:
             mat_fn, ops = rows_matmat_operands(dev)
@@ -419,6 +430,9 @@ class Chebyshev:
         degree = self.degree
 
         def fn(ops, x):
+            x_in = x
+            if stream_bf16:
+                x = x.astype(jnp.bfloat16)
             rho = 1.0 / sigma1
             d = x / theta
             r = x
@@ -429,7 +443,7 @@ class Chebyshev:
                 rho_new = 1.0 / (2.0 * sigma1 - rho)
                 d = (rho * rho_new) * d + (2.0 * rho_new / delta) * r
                 rho = rho_new
-            return y
+            return y.astype(x_in.dtype)
 
         return fn, ops
 

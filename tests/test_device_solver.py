@@ -441,3 +441,55 @@ def test_device_sparse_hub_rows_avoid_ell():
     a = a + a.T + scs.eye(n)
     dm = device_sparse(a)
     assert type(dm).__name__ != 'EllMatrix'
+
+
+def test_lobpcg_bf16_streamed_precond(lap):
+    """Chebyshev preconditioner with bf16-streamed iterates (f32 values
+    and accumulation): preconditioner quality is percent-level by
+    design, so the solver converges to the same accuracy."""
+    from raleigh_tpu.core.device_solver import lobpcg
+    from raleigh_tpu.ops.spmm import device_sparse
+    from raleigh_tpu.algebra.sparse import Chebyshev, spectral_bounds
+
+    a, exact = lap
+    lo, hi = spectral_bounds(a)
+    ch = Chebyshev(a, hi * 1e-4, hi, degree=10, arch='tpu')
+    dm = device_sparse(a, dtype=np.float64)
+    pre = ch.device_rows_operands(8, a.shape[0], dtype=np.dtype('float64'),
+                                  stream_bf16=True)
+    lam, x, r, it, st = lobpcg(dm, 6, precond=pre, block_size=8,
+                               tol=1e-8, maxit=300, dtype=np.float64)
+    assert st == 0
+    assert np.abs(lam - exact[:6]).max() < 1e-5
+
+
+def test_operand_forms_embed_no_matrix_literals():
+    """The argument-form applies must not capture matrix payloads as
+    jaxpr constants: a compiled-in literal means a fresh remote compile
+    per matrix and (at HBM sizes) program uploads beyond the remote
+    compiler's request limit."""
+    import jax
+    import jax.numpy as jnp
+    from raleigh_tpu.ops.spmm import DiaMatrix
+    from raleigh_tpu.algebra.sparse import Chebyshev, spectral_bounds
+    from raleigh_tpu.examples.laplace import lap2d
+
+    a = lap2d(32, 32, 1.0, 1.0)
+    d = DiaMatrix(a)
+    n = d.shape[0]
+    m = 8
+    x = jnp.zeros((m, n), jnp.float32)
+
+    def const_bytes(jaxpr):
+        return sum(np.asarray(c).nbytes for c in jaxpr.consts
+                   if hasattr(c, 'nbytes') or isinstance(c, np.ndarray))
+
+    fn, ops = d.rows_operand_form(m, n)
+    jx = jax.make_jaxpr(fn)(ops, x)
+    assert const_bytes(jx) < 1 << 16, const_bytes(jx)
+
+    lo, hi = spectral_bounds(a)
+    ch = Chebyshev(a, lo, hi, degree=6, arch='tpu')
+    pfn, pops = ch.device_rows_operands(m, n)
+    jx2 = jax.make_jaxpr(pfn)(pops, x)
+    assert const_bytes(jx2) < 1 << 16, const_bytes(jx2)
