@@ -466,21 +466,38 @@ def lobpcg(op, k, n=None, opB=None, precond=None, block_size=None,
         x = jax.random.normal(jax.random.PRNGKey(seed), (m, n), dtype)
     if sharding is not None:
         x = jax.device_put(x, sharding)
-    x = _ortho_against_pair(x, y, by)
-    bx0 = matmat_b(x)
-    x, bx0, dead_x = _normalize_drop_pair(x, bx0, sqrt_eps)
-    x, bx, _ = _whiten_pair(x, bx0, eps_rel, sqrt_eps, dead_x)
-    ax = matmat(x)
+
+    @jax.jit
+    def init_state(x, y, ay, by, opsA, opsB):
+        # one program for the whole setup (orthonormalize, images,
+        # observability): at HBM-resident sizes the eager version was
+        # ~10 separate dispatches — several seconds through a
+        # remote/tunneled device before the first iteration even ran
+        def mm(v):
+            return matmat_fn(opsA, v).astype(v.dtype)
+
+        if opB is not None:
+            def mm_b(v):
+                return matmat_b_fn(opsB, v).astype(v.dtype)
+        else:
+            def mm_b(v):
+                return v
+        x2 = _ortho_against_pair(x, y, by)
+        bx0 = mm_b(x2)
+        x2, bx0, dead_x = _normalize_drop_pair(x2, bx0, sqrt_eps)
+        x2, bx, _ = _whiten_pair(x2, bx0, eps_rel, sqrt_eps, dead_x)
+        ax = mm(x2)
+        lam0 = jnp.einsum('mn,mn->m', x2.conj(), ax, precision=_HI).real
+        r0 = jnp.linalg.norm(ax - lam0[:, None].astype(x2.dtype) * bx,
+                             axis=1)
+        return x2, ax, bx, lam0, r0
+
+    x, ax, bx, lam0, r0 = init_state(x, y, ay, by, ops_a, ops_b)
     p = jnp.zeros_like(x)
     ap = jnp.zeros_like(x)
     bp = p if opB is None else jnp.zeros_like(x)
     anorm = jnp.zeros((), jnp.float32 if np.dtype(dtype).itemsize < 8
                       else jnp.float64)
-
-    # initial observability (also the rollback target if the very first
-    # chunk degenerates)
-    lam0 = jnp.einsum('mn,mn->m', x.conj(), ax, precision=_HI).real
-    r0 = jnp.linalg.norm(ax - lam0[:, None].astype(x.dtype) * bx, axis=1)
     lam_h, resid_h = jax.device_get((lam0, r0))
     anorm_h = float(np.max(np.abs(lam_h)))
 
