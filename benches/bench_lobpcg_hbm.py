@@ -42,8 +42,12 @@ def main():
     print('n = %d, k = %d, chebyshev degree %d'
           % (dm.shape[0], k, degree), flush=True)
 
+    # argument-form preconditioner: payload flows through the superkernel
+    # as jit arguments (no matrix literals in the compiled program)
+    m = k + max(8, k // 4)
+    pre = ch.device_rows_operands(m, dm.shape[0])
     t0 = time.time()
-    lam, x, r, it, st = lobpcg(dm, k, precond=ch._device_fused_rows(),
+    lam, x, r, it, st = lobpcg(dm, k, precond=pre, block_size=m,
                                tol=1e-4, maxit=200, chunk=8,
                                dtype=np.float32, verb=1)
     dt = time.time() - t0
