@@ -550,6 +550,17 @@ def device_sparse(a, dtype=np.float32, block_width_hint=32, bs=128,
         fill = csr.nnz / (ntiles * bs * bs)
         if fill * min(block_width_hint, 128) >= 8.0:
             return BsrMatrix(csr, dtype=dtype, bs=bs)
+        # HBM-resident regime: TPU gathers collapse the ELL scan to
+        # ~0.02 Gnnz/s (measured, STATUS.md regime map) while BSR
+        # streams its tiles at the HBM roofline even at percent-level
+        # fill (measured 2.1 Gnnz/s at fill 0.023) — compare predicted
+        # apply times instead of demanding high fill
+        hbm = n * block_width_hint * 4 > 64 * 2 ** 20
+        if hbm:
+            bsr_t = ntiles * bs * bs * 4 / 350e9
+            ell_t = csr.nnz / 0.03e9
+            if bsr_t < ell_t:
+                return BsrMatrix(csr, dtype=dtype, bs=bs)
     # ELL pads every row to the MAX degree: a few hub rows (e.g. a
     # boundary-condition row coupled to everything) would inflate the
     # padded storage K*n arbitrarily — route degree-skewed patterns to

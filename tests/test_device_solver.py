@@ -493,3 +493,32 @@ def test_operand_forms_embed_no_matrix_literals():
     pfn, pops = ch.device_rows_operands(m, n)
     jx2 = jax.make_jaxpr(pfn)(pops, x)
     assert const_bytes(jx2) < 1 << 16, const_bytes(jx2)
+
+
+def test_device_sparse_hbm_prefers_bsr_over_ell():
+    """In the HBM-resident regime the steering compares predicted apply
+    times: an FE-like block pattern routes to BSR (tile streaming at the
+    roofline) instead of the gather-collapsed ELL scan."""
+    import scipy.sparse as scs
+    from raleigh_tpu.ops import spmm as sp
+
+    rng = np.random.default_rng(4)
+    g = 12
+    adj = scs.csr_matrix(lap3d(g, g, g, 1.0, 1.0, 1.0))
+    adj.data[:] = 1.0
+    # sprinkle irregular long-range couplings so the pattern does not
+    # collapse onto few diagonals (DIA would otherwise win, correctly)
+    nn = adj.shape[0]
+    r = rng.integers(0, nn, size=(300, 2))
+    extra = scs.coo_matrix((np.ones(300), (r[:, 0], r[:, 1])),
+                           shape=adj.shape).tocsr()
+    adj = ((adj + extra + extra.T) != 0).astype(np.float64)
+    blk = scs.kron(adj, np.ones((3, 3)), format='csr')
+    blk.data = rng.standard_normal(blk.data.size) * 0.01
+    a = (blk + blk.T) * 0.5
+    # pretend the operand would be HBM-resident for this size
+    dm = sp.device_sparse(a, block_width_hint=1 << 16)
+    assert type(dm).__name__ == 'BsrMatrix'
+    # small working set keeps ELL (device gathers fine in VMEM regime)
+    dm2 = sp.device_sparse(a, block_width_hint=8)
+    assert type(dm2).__name__ == 'EllMatrix'
