@@ -490,11 +490,16 @@ class BsrMatrix:
 @partial(jax.jit, static_argnames=('nb',))
 def _bsr_matmat(blocks, block_cols, block_rows, xtiles, nb):
     # gather operand tiles, batched matmul on the MXU, segment-sum per
-    # block row
+    # block row.  Accumulation is at least f32 whatever the tile
+    # storage: bf16 blocks (opt-in, halves the tile-stream bound that
+    # is the measured HBM-scale bottleneck) still contract exactly on
+    # the MXU's f32 accumulators
     xg = jnp.take(xtiles, block_cols, axis=0)          # (nnzb, bs, m)
+    pet = jnp.promote_types(jnp.float32, xtiles.dtype)
     prod = jnp.einsum('bij,bjk->bik', blocks, xg,
-                      preferred_element_type=xtiles.dtype)
-    return jax.ops.segment_sum(prod, block_rows, num_segments=nb)
+                      preferred_element_type=pet)
+    return jax.ops.segment_sum(prod, block_rows,
+                               num_segments=nb).astype(pet)
 
 
 def rows_matmat_operands(dm):
