@@ -334,14 +334,29 @@ def lobpcg(op, k, n=None, opB=None, precond=None, block_size=None,
 
     # ---- constraints: B-orthonormalize once, precompute A/B-images -----
     if constraints is not None and np.size(constraints) > 0:
+        # the constraint block has its own row count != m, so it must
+        # use the shape-flexible apply (matmat_fn may be a Pallas window
+        # kernel built for exactly (m, n) blocks)
+        mm_any0 = _rows_matmat(op, sharding is not None)
+
+        def mm_any(v):
+            return mm_any0(v).astype(v.dtype)
+        if opB is None:
+            def mm_b_any(v):
+                return v
+        else:
+            mm_b_any0 = _rows_matmat(opB, sharding is not None)
+
+            def mm_b_any(v):
+                return mm_b_any0(v).astype(v.dtype)
         y = jnp.asarray(constraints, dtype=dtype).T
         if sharding is not None:
             y = jax.device_put(y, sharding)
-        by0 = matmat_b(y)
+        by0 = mm_b_any(y)
         y, by0, dead_y = _normalize_drop_pair(y, by0, sqrt_eps)
         y, by0, dead_y = _whiten_pair(y, by0, eps_rel, sqrt_eps, dead_y)
-        ay = matmat(y)
-        by = matmat_b(y)
+        ay = mm_any(y)
+        by = mm_b_any(y)
     else:
         y = jnp.zeros((0, n), dtype=dtype)
         ay = by = y

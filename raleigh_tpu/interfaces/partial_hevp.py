@@ -267,8 +267,11 @@ def _device_jacobi_path(A, B, T, which, tol, verb, opt, arch):
     dtype = np.float64 if np.dtype(A.dtype).itemsize >= 8 and \
         _x64_enabled() else np.float32
     # fix the block size now so the argument-form preconditioner is
-    # built for the exact block shape the engine will iterate
-    block = getattr(opt, 'block_size', -1)
+    # built for the exact block shape the engine will iterate; the
+    # caller's Options is restored afterwards (side-effect-free
+    # interfaces, reference truncated_svd.py:121-126)
+    block_user = getattr(opt, 'block_size', -1)
+    block = block_user
     if block is None or block < 1:
         block = 128 if which > 100 else max(16, which + which // 4)
     block = min(block, max(8, n // 4))
@@ -290,8 +293,11 @@ def _device_jacobi_path(A, B, T, which, tol, verb, opt, arch):
         opt.max_iter = 600
     v = dense_jax.Vectors(n, data_type=dtype)
     start = _time.time()
-    status = engine.solve(v, options=opt, nwanted=which,
-                          verb=max(verb, 0))
+    try:
+        status = engine.solve(v, options=opt, nwanted=which,
+                              verb=max(verb, 0))
+    finally:
+        opt.block_size = block_user
     if verb > -1:
         print('iterations: %d, solve time: %.2e'
               % (engine.iteration, _time.time() - start))

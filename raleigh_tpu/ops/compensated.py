@@ -71,8 +71,15 @@ def _grid_split(x, axis):
     sigma = grid * 2^23 and subtracting it back rounds x to the grid —
     the standard error-free extraction."""
     mu = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
-    # exponent anchor; zero chunks keep exponent 0 (their slices are 0)
-    e = jnp.ceil(jnp.log2(jnp.where(mu > 0, mu, 1.0)))
+    # exponent anchor from the FLOAT'S BITS, not log2: an f32 log2 can
+    # round down across an integer boundary (mu just above 2^k), making
+    # the grid a factor 2 too fine and silently breaking the
+    # exact-product budget.  floor(log2(mu)) + 1 >= ceil(log2(mu)) is
+    # always a safe (possibly one-coarser) anchor.  Zero chunks keep
+    # exponent 1 (their slices are 0 anyway).
+    mu_f = jnp.where(mu > 0, mu, 1.0).astype(jnp.float32)
+    biased = (jax.lax.bitcast_convert_type(mu_f, jnp.int32) >> 23) & 0xFF
+    e = (biased - 126).astype(jnp.float32)       # floor(log2) + 1
     grid1 = jnp.exp2(e - _BETA)
     sigma1 = grid1 * (2.0 ** 23)
     s1 = (x + sigma1) - sigma1

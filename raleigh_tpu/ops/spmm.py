@@ -154,7 +154,10 @@ class DiaMatrix:
                 and self.val.dtype == jnp.float32
                 and -(-n // max(tile, 128)) >= 2):
             return self.matmat_rows_window(x, tile=tile)
-        return _dia_matmat_rows(self.val, x, self.offsets)
+        # the fused kernel promotes bf16 operands to f32 (val is f32);
+        # cast back so the result dtype does not depend on the
+        # size-based routing
+        return _dia_matmat_rows(self.val, x, self.offsets).astype(x.dtype)
 
     def rows_operand_form(self, m, n, dtype=jnp.float32, tile=32768):
         """(fn, operands) argument-form of ``matmat_rows`` with the
@@ -168,6 +171,12 @@ class DiaMatrix:
         compiler's request limit."""
         offsets = self.offsets
         noff = len(offsets)
+        key = ('opform', m, n, tile, str(np.dtype(dtype)))
+        if not hasattr(self, '_window_cache'):
+            self._window_cache = {}
+        hit = self._window_cache.get(key)
+        if hit is not None:
+            return hit
         if self._multi_device():
             f = self.sharded_rows_fn(m, n, dtype, tile=tile)
             if f is not None:
@@ -175,13 +184,16 @@ class DiaMatrix:
 
                 def fn(ops, x):
                     return fn0(ops[0], x)
-                return fn, (self.val,)
-
-            def fn(ops, x):
-                return _dia_matmat_rows(ops[0], x, offsets)
-            return fn, (self.val,)
+                out = fn, (self.val,)
+            else:
+                def fn(ops, x):
+                    return _dia_matmat_rows(ops[0], x, offsets)
+                out = fn, (self.val,)
+            self._window_cache[key] = out
+            return out
         xbytes = 2 if dtype == jnp.bfloat16 else 4
         ws = 2 * m * n * xbytes + noff * n * 4
+        out = None
         if (ws > self.WINDOW_HBM_BYTES and n % 128 == 0
                 and dtype in (jnp.float32, jnp.bfloat16)
                 and self.val.dtype == jnp.float32
@@ -195,13 +207,15 @@ class DiaMatrix:
 
                 def fn(ops, x):
                     return wfn(x, ops[0])
-                return fn, (w.operand,)
+                out = fn, (w.operand,)
             except ValueError:
-                pass
-
-        def fn(ops, x):
-            return _dia_matmat_rows(ops[0], x, offsets)
-        return fn, (self.val,)
+                out = None
+        if out is None:
+            def fn(ops, x):
+                return _dia_matmat_rows(ops[0], x, offsets)
+            out = fn, (self.val,)
+        self._window_cache[key] = out
+        return out
 
     def sharded_rows_fn(self, m, n, dtype=jnp.float32, tile=32768,
                         interpret=False, force_window=None):
@@ -251,7 +265,9 @@ class DiaMatrix:
         n_local = n // nshards
         if n_local % 128 or max(halo_lo, halo_hi) > n_local:
             return None
-        key = ('sharded', m, n, tile, bool(interpret), force_window)
+        key = ('sharded', m, n, tile, bool(interpret), force_window,
+               str(np.dtype(dtype) if not isinstance(dtype, str)
+                   else dtype))
         if not hasattr(self, '_window_cache'):
             self._window_cache = {}
         hit = self._window_cache.get(key)

@@ -542,3 +542,45 @@ def test_bsr_bf16_blocks_f32_accumulate():
     want = a @ x
     assert y.dtype == np.float32
     assert np.abs(y - want).max() / np.abs(want).max() < 2e-2
+
+
+def test_lobpcg_constraints_with_shape_rigid_operand_form(lap):
+    """The operand-form apply may be compiled for exactly (m, n) blocks
+    (the Pallas window kernel is); constraint blocks have a different
+    row count and must go through the shape-flexible apply instead."""
+    import jax.numpy as jnp
+    from raleigh_tpu.core.device_solver import lobpcg
+    from raleigh_tpu.ops.spmm import DiaMatrix
+
+    a, exact = lap
+    dm = DiaMatrix(a, dtype=np.float64)
+
+    class RigidOp:
+        """DiaMatrix stand-in whose operand-form asserts the block shape,
+        like a Pallas kernel built for (m, n) would."""
+        shape = dm.shape
+        offsets = dm.offsets
+        val = dm.val
+
+        def _multi_device(self):
+            return False
+
+        def matmat_rows(self, x, tile=32768):
+            return dm.matmat_rows(x, tile=tile)
+
+        def rows_operand_form(self, m, n, dtype=None, tile=32768):
+            def fn(ops, x):
+                assert x.shape[0] == m, 'operand-form called off-shape'
+                return dm.matmat_rows(x)
+            return fn, ()
+
+    op = RigidOp()
+    lam0, x0v, r0, it0, st0 = lobpcg(op, 3, tol=1e-8, maxit=300,
+                                     dtype=np.float64)
+    assert st0 == 0
+    # warm restart: the 3 converged vectors become constraints (nc=3
+    # rows != block m) — before the fix this crashed the rigid apply
+    lam1, x1, r1, it1, st1 = lobpcg(op, 3, constraints=x0v, tol=1e-7,
+                                    maxit=300, dtype=np.float64)
+    assert st1 == 0
+    assert np.abs(lam1 - exact[3:6]).max() / exact[5] < 1e-5
