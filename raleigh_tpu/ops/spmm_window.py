@@ -52,6 +52,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _make_apply(call, val_p):
+    """Shared builder epilogue: a jitted runner taking the (padded)
+    values as an ARGUMENT (a closure-captured jax.Array would be baked
+    into the compiled program as a literal — every matrix a fresh
+    remote compile), plus the operand-form hooks superkernels use to
+    keep the payload out of THEIR programs too."""
+    @jax.jit
+    def _run(x, v):
+        return call(x, v)
+
+    def apply(x):
+        return _run(x, val_p)
+
+    apply.operand_fn = _run
+    apply.operand = val_p
+    return apply
+
+
 def build_dia_window_ring(offsets, val, n, m, tile=32768,
                           interpret=False, operand_dtype=jnp.float32):
     """Ring-window variant: two alternating (m, T+H) VMEM windows, each
@@ -196,23 +214,7 @@ def build_dia_window_ring(offsets, val, n, m, tile=32768,
         interpret=interpret,
     )
 
-    @jax.jit
-    def _run(x, v):
-        return call(x, v)
-
-    def apply(x):
-        # val flows in as an ARGUMENT: a closure-captured jax.Array would
-        # be baked into the compiled program as a literal, making every
-        # matrix a fresh (multi-minute, remote) compile and defeating the
-        # persistent cache (see core/device_jacobi.py)
-        return _run(x, val_p)
-
-    # argument-form hooks for callers that trace this kernel inside a
-    # bigger jit (superkernels): operand_fn(x, operand) keeps the
-    # (padded) values out of the outer program too
-    apply.operand_fn = _run
-    apply.operand = val_p
-    return apply
+    return _make_apply(call, val_p)
 
 
 def build_dia_window_slide(offsets, val, n, m, tile=32768,
@@ -338,23 +340,7 @@ def build_dia_window_slide(offsets, val, n, m, tile=32768,
         interpret=interpret,
     )
 
-    @jax.jit
-    def _run(x, v):
-        return call(x, v)
-
-    def apply(x):
-        # val flows in as an ARGUMENT: a closure-captured jax.Array would
-        # be baked into the compiled program as a literal, making every
-        # matrix a fresh (multi-minute, remote) compile and defeating the
-        # persistent cache (see core/device_jacobi.py)
-        return _run(x, val_p)
-
-    # argument-form hooks for callers that trace this kernel inside a
-    # bigger jit (superkernels): operand_fn(x, operand) keeps the
-    # (padded) values out of the outer program too
-    apply.operand_fn = _run
-    apply.operand = val_p
-    return apply
+    return _make_apply(call, val_p)
 
 
 def build_dia_window_tiles(offsets, val, n, m, tile=32768,
@@ -523,23 +509,7 @@ def build_dia_window_tiles(offsets, val, n, m, tile=32768,
         interpret=interpret,
     )
 
-    @jax.jit
-    def _run(x, v):
-        return call(x, v)
-
-    def apply(x):
-        # val flows in as an ARGUMENT: a closure-captured jax.Array would
-        # be baked into the compiled program as a literal, making every
-        # matrix a fresh (multi-minute, remote) compile and defeating the
-        # persistent cache (see core/device_jacobi.py)
-        return _run(x, val_p)
-
-    # argument-form hooks for callers that trace this kernel inside a
-    # bigger jit (superkernels): operand_fn(x, operand) keeps the
-    # (padded) values out of the outer program too
-    apply.operand_fn = _run
-    apply.operand = val_p
-    return apply
+    return _make_apply(call, val_p)
 
 
 def build_dia_window_ring_ext(offsets, n, m, tile=32768, interpret=False):
