@@ -306,3 +306,22 @@ def test_subspace_pca_sharded_matches_single():
     r1 = trans1 @ comps1
     r2 = trans2 @ comps2
     assert np.abs(r1 - r2).max() / np.abs(r1).max() < 1e-3
+
+
+def test_compensated_dot_sharded():
+    """The compensated (double-word) Gram reduction composes with GSPMD
+    sharding: chunked exact-product slicing partitions over the mesh and
+    still returns f64-class accuracy."""
+    from raleigh_tpu.parallel.mesh import make_mesh, blockvec_sharding
+    from raleigh_tpu.algebra import dense_jax
+
+    rng = np.random.RandomState(5)
+    m, n = 6, 4096
+    a32 = rng.standard_normal((m, n)).astype(np.float32)
+    b32 = rng.standard_normal((m, n)).astype(np.float32)
+    oracle = b32.astype(np.float64) @ a32.astype(np.float64).T
+    sh = blockvec_sharding(make_mesh(8))
+    g = dense_jax.Vectors(a32, sharding=sh, compensated=True).dot(
+        dense_jax.Vectors(b32, sharding=sh))
+    assert g.dtype == np.float64
+    assert np.abs(g - oracle).max() / np.abs(oracle).max() < 1e-10
