@@ -584,3 +584,53 @@ def test_lobpcg_constraints_with_shape_rigid_operand_form(lap):
                                     maxit=300, dtype=np.float64)
     assert st1 == 0
     assert np.abs(lam1 - exact[3:6]).max() / exact[5] < 1e-5
+
+
+def test_device_jacobi_gen_restart_path(monkeypatch):
+    """Fault-inject a failed orthonormality check so the B-mode
+    Ritz-quality restart branch runs (re-whiten via entry_fix, fresh
+    images, reset conjugate directions) and the solve still converges."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.linalg as sla
+    import raleigh_tpu.core.device_jacobi as dj
+    from raleigh_tpu.core.solver import Options, DefaultConvergenceCriteria
+    from raleigh_tpu.algebra import dense_jax
+
+    n = 200
+    rng = np.random.RandomState(7)
+    q = rng.standard_normal((n, n)) * 0.05
+    A = np.diag(np.linspace(1.0, 40.0, n)) + (q + q.T)
+    B = np.diag(np.linspace(1.0, 2.0, n))
+
+    def matmat(ops, x):
+        return jnp.matmul(x, ops[0].T)
+
+    engine = dj.DeviceJacobi(matmat, n, dtype=np.float64,
+                             operands=(jnp.asarray(A),),
+                             matmat_b=matmat,
+                             operands_b=(jnp.asarray(B),))
+    orig_get = jax.device_get
+    forced = {'n': 0}
+
+    def fake_get(x):
+        vals = orig_get(x)
+        if (isinstance(vals, tuple) and len(vals) == 5
+                and forced['n'] == 0):
+            forced['n'] += 1
+            return vals[:4] + (np.float64(1.0),)   # fake huge gram error
+        return vals
+
+    monkeypatch.setattr(jax, 'device_get', fake_get)
+    v = dense_jax.Vectors(n, data_type=np.float64)
+    opt = Options()
+    opt.convergence_criteria = DefaultConvergenceCriteria()
+    opt.convergence_criteria.set_error_tolerance('k eigenvector error',
+                                                 1e-8)
+    opt.max_iter = 300
+    st = engine.solve(v, options=opt, nwanted=4)
+    assert forced['n'] == 1                        # restart was taken
+    assert st == 0
+    exact = sla.eigh(A, B, eigvals_only=True)
+    assert np.abs(np.sort(engine.eigenvalues)[-4:] - exact[-4:]).max() \
+        / abs(exact[-1]) < 1e-6
