@@ -46,6 +46,10 @@ _EXPORTS = {
     'randomized_svd': 'raleigh_tpu.interfaces.randomized',
     'Chebyshev': 'raleigh_tpu.algebra.sparse',
     'spectral_bounds': 'raleigh_tpu.algebra.sparse',
+    'SparseSymmetricMatrix': 'raleigh_tpu.algebra.sparse',
+    'SparseSymmetricSolver': 'raleigh_tpu.algebra.sparse',
+    'IncompleteLU': 'raleigh_tpu.algebra.sparse',
+    'Operator': 'raleigh_tpu.algebra.sparse',
 }
 
 
