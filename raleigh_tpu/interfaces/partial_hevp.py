@@ -285,8 +285,9 @@ def _device_jacobi_path(A, B, T, which, tol, verb, opt, arch):
             precond = T._device_fused_rows()
     engine = DeviceJacobi(neg_matmat, n, dtype=dtype, precond=precond,
                           operands=opsA, matmat_b=fnB, operands_b=opsB)
-    opt.convergence_criteria = (opt.convergence_criteria
-                                or DefaultConvergenceCriteria())
+    cc_user = opt.convergence_criteria
+    max_iter_user = opt.max_iter
+    opt.convergence_criteria = cc_user or DefaultConvergenceCriteria()
     opt.convergence_criteria.set_error_tolerance('k eigenvector error',
                                                  tol)
     if opt.max_iter is None or opt.max_iter < 0:
@@ -297,7 +298,11 @@ def _device_jacobi_path(A, B, T, which, tol, verb, opt, arch):
         status = engine.solve(v, options=opt, nwanted=which,
                               verb=max(verb, 0))
     finally:
+        # full restore — a caller reusing the same Options across calls
+        # must not inherit the tolerance/criteria/max_iter set here
         opt.block_size = block_user
+        opt.convergence_criteria = cc_user
+        opt.max_iter = max_iter_user
     if verb > -1:
         print('iterations: %d, solve time: %.2e'
               % (engine.iteration, _time.time() - start))

@@ -62,12 +62,13 @@ def truncated_svd(A, opt=None, nsv=-1, tol=0, norm='s', msv=-1, vtol=0,
         v = v[:, :msv]
         sigma = sigma[:msv]
 
-    # restore user options to avoid side effects
-    opt.block_size = user_bs
-    if no_cc:
-        opt.convergence_criteria = None
+    # undo the defaults installed above so the caller's Options object
+    # leaves this function exactly as it came in
     if no_sc:
         opt.stopping_criteria = None
+    if no_cc:
+        opt.convergence_criteria = None
+    opt.block_size = user_bs
     return u, sigma, v.T
 
 
@@ -96,12 +97,10 @@ class TruncatedSVDErrorCalculator:
         self.aves = None
 
     def set_up(self, op, eigenvectors, shift=False):
-        self.op = op.op
-        self.eigenvectors = eigenvectors
+        self.op, self.eigenvectors = op.op, eigenvectors
         self.shift = shift
         if shift:
-            self.ones = op.ones
-            self.aves = op.aves
+            self.ones, self.aves = op.ones, op.aves
             # mean-centred rows: ||a_i - c||^2 expands to
             # ||a_i||^2 - 2 Re(a_i . c) + ||c||^2 with c the column means
             img = eigenvectors.new_vectors(1, self.m)
@@ -163,22 +162,23 @@ class DefaultStoppingCriteria:
     says stop (reference truncated_svd.py:205-283)."""
 
     def __init__(self, a, err_tol=0, norm='f', max_nsv=0, verb=0):
-        self.shape = a.shape()
-        self.scale = a.scale()
+        # stop policy: tolerance sign selects relative (+) vs absolute (-),
+        # zero with max_nsv < 1 means interactive
         self.err_tol = err_tol
         self.norm = norm
         self.max_nsv = max_nsv
         self.verb = verb
-        self.ncon = 0
-        self.sigma = 1
-        self.iteration = 0
-        self.start_time = time.time()
-        self.elapsed_time = 0
+        # row-energy calculator over the (possibly shifted) operator; the
+        # squared Frobenius mass still to capture lives in self.f once the
+        # first converged batch fixes the scale sigma[0]
         self.err_calc = TruncatedSVDErrorCalculator(a)
-        self.norms = self.err_calc.norms
-        self.max_norm = np.amax(self.norms)
-        self.f_norm = math.sqrt(np.sum(self.norms * self.norms))
-        self.f = 0
+        self.f = 0.0
+        self.sigma = 1.0
+        # progress counters + wall-clock bookkeeping for the printout
+        self.ncon = 0
+        self.iteration = 0
+        self.elapsed_time = 0.0
+        self.start_time = time.time()
 
     def satisfied(self, solver):
         fresh = solver.rcon - self.ncon
@@ -329,12 +329,15 @@ class UserStoppingCriteria:
 
 
 class _DefaultSVDConvergenceCriteria:
+    """Vector i converges when its kinematic error estimate lands in
+    [0, tol] (negative means "no estimate yet")."""
+
     def __init__(self, tol):
         self.tolerance = tol
 
-    def set_tolerance(self, tolerance):
-        self.tolerance = tolerance
+    def set_tolerance(self, tol):
+        self.tolerance = tol
 
     def satisfied(self, solver, i):
-        err = solver.convergence_data('kinematic vector error', i)
-        return 0 <= err <= self.tolerance
+        kin = solver.convergence_data('kinematic vector error', i)
+        return 0 <= kin <= self.tolerance

@@ -98,7 +98,8 @@ class DiaMatrix:
         back to the fused XLA kernel when the window constraints don't
         hold (small n, unaligned n, non-f32)."""
         m, n = x.shape
-        key = (m, n, tile, bool(interpret), str(x.dtype))
+        key = (m, n, tile, bool(interpret), str(x.dtype),
+               self._shard_fingerprint())
         fn = self._window_cache.get(key) if hasattr(
             self, '_window_cache') else None
         if fn is None:
@@ -120,6 +121,18 @@ class DiaMatrix:
     # sliding-window kernel's read-x-once discipline wins (STATUS.md
     # HBM-regime roofline note)
     WINDOW_HBM_BYTES = 112 * 2 ** 20
+
+    def _shard_fingerprint(self):
+        """Hashable identity of ``self.val``'s placement, part of every
+        window-cache key: ``shard_operator`` re-places the payload in
+        place, and a cached shard_map (or a cached operands tuple holding
+        the old buffer) bound to the previous mesh would otherwise be
+        served stale."""
+        sh = getattr(self.val, 'sharding', None)
+        mesh = getattr(sh, 'mesh', None)
+        if mesh is None:
+            return None
+        return (tuple(mesh.shape.items()), str(getattr(sh, 'spec', None)))
 
     def _multi_device(self):
         """True when the diagonal values are sharded over several devices
@@ -145,10 +158,13 @@ class DiaMatrix:
         xbytes = 2 if x.dtype == jnp.bfloat16 else 4
         ws = 2 * m * n * xbytes + noff * n * 4
         if self._multi_device():
+            # cast back so the result dtype matches the single-device
+            # contract (operand dtype out) whatever the routing
             fn = self.sharded_rows_fn(m, n, x.dtype, tile=tile)
             if fn is not None:
-                return fn(x)
-            return _dia_matmat_rows(self.val, x, self.offsets)
+                return fn(x).astype(x.dtype)
+            return _dia_matmat_rows(self.val, x, self.offsets).astype(
+                x.dtype)
         if (ws > self.WINDOW_HBM_BYTES and n % 128 == 0
                 and x.dtype in (jnp.float32, jnp.bfloat16)
                 and self.val.dtype == jnp.float32
@@ -171,7 +187,8 @@ class DiaMatrix:
         compiler's request limit."""
         offsets = self.offsets
         noff = len(offsets)
-        key = ('opform', m, n, tile, str(np.dtype(dtype)))
+        key = ('opform', m, n, tile, str(np.dtype(dtype)),
+               self._shard_fingerprint())
         if not hasattr(self, '_window_cache'):
             self._window_cache = {}
         hit = self._window_cache.get(key)
@@ -267,7 +284,7 @@ class DiaMatrix:
             return None
         key = ('sharded', m, n, tile, bool(interpret), force_window,
                str(np.dtype(dtype) if not isinstance(dtype, str)
-                   else dtype))
+                   else dtype), self._shard_fingerprint())
         if not hasattr(self, '_window_cache'):
             self._window_cache = {}
         hit = self._window_cache.get(key)
@@ -347,7 +364,8 @@ class DiaMatrix:
                 or self._multi_device()):
             return None
         n128 = -(-n // 128) * 128
-        key = ('padded', m, tile, bool(interpret))
+        key = ('padded', m, tile, bool(interpret),
+               self._shard_fingerprint())
         if not hasattr(self, '_window_cache'):
             self._window_cache = {}
         hit = self._window_cache.get(key)
@@ -500,7 +518,9 @@ class BsrMatrix:
         y = _bsr_matmat(self.blocks, self.block_cols, self.block_rows,
                         xt.reshape(self.nb, self.bs, m), self.nb)
         y = y.reshape(self.n_padded, m)
-        return y[:n] if pad else y
+        # operand dtype out, matching the DIA row path (accumulation
+        # inside _bsr_matmat stays >= f32 regardless)
+        return (y[:n] if pad else y).astype(xt.dtype)
 
 
 @partial(jax.jit, static_argnames=('nb',))
@@ -544,7 +564,8 @@ def rows_matmat_operands(dm):
                 xt = jnp.pad(xt, ((0, npd - n), (0, 0)))
             y = _bsr_matmat(blocks, cols, rows_,
                             xt.reshape(nb, bs, -1), nb)
-            return y.reshape(npd, -1)[:n].T
+            # operand dtype out, matching the DIA row path
+            return y.reshape(npd, -1)[:n].T.astype(x.dtype)
         return fn, (dm.blocks, dm.block_cols, dm.block_rows)
     raise TypeError('unsupported device matrix %r' % type(dm).__name__)
 
