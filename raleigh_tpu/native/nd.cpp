@@ -19,7 +19,10 @@
 // 64-bit indices.
 
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <cmath>
 #include <vector>
 #include <queue>
 #include <tuple>
@@ -32,7 +35,9 @@ namespace {
 
 struct Ctx {
     int64_t n = 0;
+    uint64_t salt0 = 0;               // global attempt salt
     int64_t leaf = 160;                // MD-takeover subgraph size
+                                       // (reset from nd_leaf_size())
     std::vector<int64_t> xadj, adjv;   // symmetric adjacency, no diagonal
     std::vector<int64_t> vwt;          // vertex weights (empty = unit)
     std::vector<int64_t> tag;          // vertex -> active subgraph tag
@@ -46,6 +51,44 @@ struct Ctx {
     // reusable leaf-extraction buffers
     std::vector<int64_t> lAp, lAi, lperm;
 };
+
+static int nd_stats_level() {
+    static int lvl = -2;
+    if (lvl == -2) {
+        const char* e = std::getenv("RALEIGH_ND_STATS");
+        lvl = e ? std::atoi(e) : -1;
+    }
+    return lvl;
+}
+
+// tuning knobs (env-overridable for experiments; defaults are the
+// measured-best values on the FE flagship + lap3d sweeps)
+static int64_t nd_env(const char* name, int64_t dflt) {
+    const char* e = std::getenv(name);
+    return e ? std::atoll(e) : dflt;
+}
+
+static int64_t nd_leaf_size() {
+    static int64_t v = nd_env("RALEIGH_ND_LEAF", 160);
+    return v;
+}
+
+static int64_t nd_coarse_size() {
+    static int64_t v = nd_env("RALEIGH_ND_COARSE", 240);
+    return v;
+}
+
+// per-candidate smoothing depth: the salted ordering competition runs
+// several ND candidates concurrently (ldlt.py best_ordering), and
+// varying the Fiedler smoothing depth between them diversifies the
+// portfolio beyond tie-break reseeding alone (measured: different
+// depths win on different graphs)
+thread_local int64_t g_smooth_extra = 0;
+
+static int64_t nd_smooth_iters() {
+    static int64_t v = nd_env("RALEIGH_ND_SMOOTH", 5);
+    return v + g_smooth_extra;
+}
 
 uint64_t splitmix64(uint64_t x) {
     x += 0x9e3779b97f4a7c15ULL;
@@ -112,6 +155,26 @@ void order_leaf(Ctx& c, const std::vector<int64_t>& S, int64_t t) {
 
 const int8_t SA = 0, SB = 1, SS = 2;
 
+// Balance floor for bisections: each side must keep at least
+// BAL_NUM/BAL_DEN of the subgraph weight.  Tuned on the FE flagship +
+// lap3d sweeps: a loose floor (1/4) lets FM settle into small-but-
+// lopsided corner cuts whose big side re-cuts all the way down, while
+// a tight floor (2/5) forbids the thin-waist cuts that minimize fill
+// on plate/shell structures (the best waists sit at ~1/3-2/5) — 3/10
+// admits the waists while still blocking corner-cut drift.
+const int64_t BAL_NUM = 3, BAL_DEN = 10;
+
+// per-candidate floor override (0 = use BAL_NUM/BAL_DEN): diversifies
+// the salted ordering portfolio — different structures favor different
+// imbalance allowances
+thread_local int64_t g_bal_num = 0, g_bal_den = 1;
+
+inline int64_t bal_floor(int64_t totw) {
+    if (g_bal_num)
+        return std::max<int64_t>(1, (g_bal_num * totw) / g_bal_den);
+    return std::max<int64_t>(1, (BAL_NUM * totw) / BAL_DEN);
+}
+
 struct WG {
     int64_t nv = 0;
     int64_t totw = 0;
@@ -134,13 +197,13 @@ void fm_refine_w(const WG& g, std::vector<int8_t>& side) {
         else { ws += g.vwt[v]; ++nsep0; }
     }
     if (nsep0 == 0) return;
-    // balance floor: never let a side drop below totw/4 — unless the
-    // incoming cut is already more lopsided, in which case hold the line
-    // at its current smaller side (keeps refinement feasible while
-    // forbidding further drift; imbalance compounding through the
-    // uncoarsening hierarchy was the round-1 quality regression)
+    // balance floor — unless the incoming cut is already more lopsided,
+    // in which case hold the line at its current smaller side (keeps
+    // refinement feasible while forbidding further drift; imbalance
+    // compounding through the uncoarsening hierarchy was the round-1
+    // quality regression)
     const int64_t min_part = std::max<int64_t>(
-        1, std::min(g.totw / 4, std::min(wa, wb)));
+        1, std::min(bal_floor(g.totw), std::min(wa, wb)));
 
     // moving v (side SS) toward ``to`` pulls its opposite-side neighbors
     // into the separator: gain in separator weight = vwt[v] - pulled wt
@@ -179,7 +242,7 @@ void fm_refine_w(const WG& g, std::vector<int8_t>& side) {
             }
         int64_t best_ws = ws, best_bal = std::max(wa, wb);
         size_t best_len = 0;
-        int64_t budget = 2 * nsep + 64;
+        int64_t budget = 2 * nsep + 64 + nv / 8;
         while (!heap.empty() && budget > 0) {
             auto [gn, v, to] = heap.top();
             heap.pop();
@@ -241,20 +304,145 @@ void fm_refine_w(const WG& g, std::vector<int8_t>& side) {
     }
 }
 
-// Initial separator on a (small) connected graph: weighted BFS level cut
-// from a pseudo-peripheral root, falling back to a weighted-median split
-// of the BFS order when no balanced thin level exists.  Returns false if
-// no valid separator could be built (caller orders the subgraph whole).
-bool init_vsep(const WG& g, std::vector<int8_t>& side) {
+std::pair<int64_t, int64_t> cut_cost(const WG& g,
+                                     const std::vector<int8_t>& side);
+
+// helpers shared by the initial-cut constructions -----------------------
+
+// make an A/B assignment a vertex separator: for each crossing edge pull
+// the B endpoint into S (one-sided cover; FM thins it afterwards).
+// ``pull_a`` selects which side donates its boundary.
+void cover_from_cut(const WG& g, std::vector<int8_t>& side, bool pull_a) {
+    int8_t from = pull_a ? SA : SB, other = pull_a ? SB : SA;
+    for (int64_t v = 0; v < g.nv; ++v) {
+        if (side[v] != from) continue;
+        for (int64_t p = g.xadj[v]; p < g.xadj[v + 1]; ++p)
+            if (side[g.adj[p]] == other) { side[v] = SS; break; }
+    }
+}
+
+// Minimum-vertex-cover separator from an A/B edge cut (König): max
+// bipartite matching on the crossing edges via augmenting paths, then
+// the cover = (unreached A-boundary) + (reached B-boundary) becomes S.
+// Thinner than either one-sided boundary whenever the cut zig-zags —
+// the separator FM then starts from a strictly better state.
+void min_cover_sep(const WG& g, std::vector<int8_t>& side) {
+    const int64_t nv = g.nv;
+    // collect boundary vertices of each side and the crossing edges
+    std::vector<int64_t> xa, xb, ida(nv, -1), idb(nv, -1);
+    for (int64_t v = 0; v < nv; ++v) {
+        if (side[v] != SA) continue;
+        for (int64_t p = g.xadj[v]; p < g.xadj[v + 1]; ++p)
+            if (side[g.adj[p]] == SB) {
+                ida[v] = (int64_t)xa.size();
+                xa.push_back(v);
+                break;
+            }
+    }
+    if (xa.empty()) return;
+    std::vector<std::vector<int64_t>> adj(xa.size());
+    for (size_t i = 0; i < xa.size(); ++i) {
+        int64_t v = xa[i];
+        for (int64_t p = g.xadj[v]; p < g.xadj[v + 1]; ++p) {
+            int64_t w = g.adj[p];
+            if (side[w] != SB) continue;
+            if (idb[w] < 0) {
+                idb[w] = (int64_t)xb.size();
+                xb.push_back(w);
+            }
+            adj[i].push_back(idb[w]);
+        }
+    }
+    const int64_t na = (int64_t)xa.size(), nb = (int64_t)xb.size();
+    std::vector<int64_t> mate_a(na, -1), mate_b(nb, -1), seen(nb, -1);
+    // simple augmenting-path matching (Kuhn); boundary graphs are
+    // sparse and shallow, so this stays fast at coarse sizes
+    std::vector<int64_t> stack, parent_b(nb);
+    for (int64_t s = 0; s < na; ++s) {
+        // iterative DFS over alternating paths from s
+        bool found = false;
+        stack.clear();
+        stack.push_back(s);
+        std::vector<int64_t> frontier{s};
+        // recursive lambda flattened: classic Kuhn with recursion is
+        // fine at these depths
+        std::vector<std::pair<int64_t, size_t>> st;   // (a vertex, edge i)
+        st.emplace_back(s, 0);
+        while (!st.empty() && !found) {
+            auto& [a, ei] = st.back();
+            if (ei >= adj[a].size()) {
+                st.pop_back();
+                continue;
+            }
+            int64_t b = adj[a][ei++];
+            if (seen[b] == s) continue;
+            seen[b] = s;
+            parent_b[b] = a;
+            if (mate_b[b] < 0) {
+                // augment along parents
+                int64_t bb = b;
+                while (true) {
+                    int64_t aa = parent_b[bb];
+                    int64_t prev = mate_a[aa];
+                    mate_a[aa] = bb;
+                    mate_b[bb] = aa;
+                    if (prev < 0) break;
+                    bb = prev;
+                }
+                found = true;
+            } else {
+                st.emplace_back(mate_b[b], 0);
+            }
+        }
+    }
+    // König: alternating BFS from unmatched A vertices
+    std::vector<int8_t> ra(na, 0), rb(nb, 0);
+    std::vector<int64_t> q;
+    for (int64_t i = 0; i < na; ++i)
+        if (mate_a[i] < 0) {
+            ra[i] = 1;
+            q.push_back(i);
+        }
+    while (!q.empty()) {
+        int64_t a = q.back();
+        q.pop_back();
+        for (int64_t b : adj[a]) {
+            if (rb[b]) continue;
+            rb[b] = 1;
+            int64_t a2 = mate_b[b];
+            if (a2 >= 0 && !ra[a2]) {
+                ra[a2] = 1;
+                q.push_back(a2);
+            }
+        }
+    }
+    for (int64_t i = 0; i < na; ++i)
+        if (!ra[i]) side[xa[i]] = SS;         // A-side cover members
+    for (int64_t j = 0; j < nb; ++j)
+        if (rb[j]) side[xb[j]] = SS;          // B-side cover members
+}
+
+bool valid_sides(const WG& g, const std::vector<int8_t>& side) {
+    bool has_a = false, has_b = false;
+    for (int64_t v = 0; v < g.nv; ++v) {
+        has_a |= (side[v] == SA);
+        has_b |= (side[v] == SB);
+    }
+    return has_a && has_b;
+}
+
+// BFS level-cut separator from ``root`` (pseudo-peripheral pass inside);
+// returns false when the graph is disconnected from root or too small.
+bool init_level_cut(const WG& g, std::vector<int8_t>& side, int64_t root) {
     const int64_t nv = g.nv;
     if (nv < 4) return false;
     std::vector<int64_t> lev(nv, -1), order;
     order.reserve(nv);
-    auto run_bfs = [&](int64_t root) -> int64_t {
+    auto run_bfs = [&](int64_t r) -> int64_t {
         std::fill(lev.begin(), lev.end(), -1);
         order.clear();
-        lev[root] = 0;
-        order.push_back(root);
+        lev[r] = 0;
+        order.push_back(r);
         int64_t maxlev = 0;
         for (size_t q = 0; q < order.size(); ++q) {
             int64_t v = order[q];
@@ -268,7 +456,7 @@ bool init_vsep(const WG& g, std::vector<int8_t>& side) {
         }
         return maxlev;
     };
-    run_bfs(0);
+    run_bfs(root % nv);
     if ((int64_t)order.size() < nv) return false;   // disconnected
     int64_t nlev = run_bfs(order.back());           // pseudo-peripheral
 
@@ -284,10 +472,14 @@ bool init_vsep(const WG& g, std::vector<int8_t>& side) {
         for (int64_t k = 1; k < nlev; ++k) {
             int64_t na = below[k];                 // levels < k
             int64_t nb = g.totw - below[k + 1];    // levels > k
-            if (na < g.totw / 5 || nb < g.totw / 5) continue;
+            // accept only near-balanced levels (30% floor here — FM
+            // repairs moderate imbalance but cannot climb out of a
+            // corner cut) and weight balance heavily in the choice
+            if (na < (3 * g.totw) / 10 || nb < (3 * g.totw) / 10)
+                continue;
             double balance = (double)std::max(na, nb)
                 / (double)std::max<int64_t>(std::min(na, nb), 1);
-            double cost = (double)wlev[k] * (1.0 + 0.1 * balance);
+            double cost = (double)wlev[k] * balance;
             if (cost < best_cost) {
                 best_cost = cost;
                 best_k = k;
@@ -313,32 +505,220 @@ bool init_vsep(const WG& g, std::vector<int8_t>& side) {
             if (acc < g.totw / 2) { side[v] = SA; acc += g.vwt[v]; }
             else side[v] = SB;
         }
-        for (int64_t v = 0; v < nv; ++v) {
-            if (side[v] != SB) continue;
-            for (int64_t p = g.xadj[v]; p < g.xadj[v + 1]; ++p)
-                if (side[g.adj[p]] == SA) { side[v] = SS; break; }
-        }
+        cover_from_cut(g, side, false);
     }
-    bool has_a = false, has_b = false;
-    for (int64_t v = 0; v < nv; ++v) {
-        has_a |= (side[v] == SA);
-        has_b |= (side[v] == SB);
-    }
-    return has_a && has_b;
+    return valid_sides(g, side);
 }
 
-// One coarsening step: heavy-edge matching in pseudo-random visit order;
-// matched pairs merge, edge weights accumulate, vertex weights add.
-// Matches whose combined weight exceeds ``wcap`` are skipped so balanced
-// cuts stay representable on the coarse graph (METIS does the same).
+// Greedy graph growing (GGGP): grow A from a seed, always absorbing the
+// frontier vertex whose move least increases the edge cut, until A holds
+// half the weight; the lighter boundary then becomes the separator.
+// The METIS-style initial cut for irregular graphs, where BFS levels cut
+// across many features at once.
+bool init_gggp(const WG& g, std::vector<int8_t>& side, uint64_t seed) {
+    const int64_t nv = g.nv;
+    if (nv < 4) return false;
+    side.assign(nv, SB);
+    int64_t root = (int64_t)(splitmix64(seed) % (uint64_t)nv);
+    // gain of moving v into A = (edge weight to A) - (edge weight to B)
+    std::vector<int64_t> locked(nv, 0);
+    std::priority_queue<std::tuple<int64_t, int64_t>> heap;
+    auto gain = [&](int64_t v) -> int64_t {
+        int64_t ga = 0;
+        for (int64_t p = g.xadj[v]; p < g.xadj[v + 1]; ++p)
+            ga += (side[g.adj[p]] == SA) ? g.ewt[p] : -g.ewt[p];
+        return ga;
+    };
+    side[root] = SA;
+    locked[root] = 1;
+    int64_t wa = g.vwt[root];
+    for (int64_t p = g.xadj[root]; p < g.xadj[root + 1]; ++p)
+        heap.emplace(gain(g.adj[p]), g.adj[p]);
+    const int64_t half = g.totw / 2;
+    while (wa < half && !heap.empty()) {
+        auto [gn, v] = heap.top();
+        heap.pop();
+        if (locked[v]) continue;
+        int64_t g2 = gain(v);
+        if (g2 != gn) {                      // stale: refresh
+            heap.emplace(g2, v);
+            continue;
+        }
+        side[v] = SA;
+        locked[v] = 1;
+        wa += g.vwt[v];
+        for (int64_t p = g.xadj[v]; p < g.xadj[v + 1]; ++p) {
+            int64_t w = g.adj[p];
+            if (!locked[w]) heap.emplace(gain(w), w);
+        }
+    }
+    if (wa < bal_floor(g.totw)) return false;   // growth starved
+    // lighter boundary becomes the separator
+    int64_t ba = 0, bb = 0;
+    for (int64_t v = 0; v < nv; ++v) {
+        bool bnd = false;
+        for (int64_t p = g.xadj[v]; p < g.xadj[v + 1] && !bnd; ++p)
+            bnd = (side[g.adj[p]] != side[v]);
+        if (bnd) ((side[v] == SA) ? ba : bb) += g.vwt[v];
+    }
+    cover_from_cut(g, side, ba <= bb);
+    return valid_sides(g, side);
+}
+
+// Spectral sweep cut: the Fiedler vector of the (edge-weighted) graph
+// Laplacian orders vertices along the graph's softest direction; sweep
+// cuts over that order find thin waists that BFS levels and greedy
+// growing miss entirely (the decisive init on plate/shell FE graphs —
+// measured on the FE flagship: a coordinate oracle that cuts at the
+// geometric waists beats level-cut/GGGP multilevel by ~25% total fill,
+// and the spectral init recovers that quality without coordinates).
+// The graph here is the coarsest multilevel graph (<= ~240 vertices),
+// so an exact dense eigensolve is cheap.
+
+// Deflated power iteration on (c I - L) starting from ``x`` (resized +
+// random-seeded if empty): the dominant eigenvector of the shifted
+// operator restricted to the complement of the constant vector is the
+// Fiedler vector.  Sweep cuts only need the vertex ORDER, so a few tens
+// of matvecs suffice — and when ``x`` arrives interpolated from the
+// coarse level (multigrid-style), a handful of smoothing iterations
+// recover the fine-level waist detail the coarse graph cannot represent.
+void fiedler_iterate(const WG& g, std::vector<double>& x, int iters,
+                     uint64_t salt) {
+    const int64_t nv = g.nv;
+    std::vector<double> deg(nv, 0.0);
+    double dmax = 0.0;
+    for (int64_t v = 0; v < nv; ++v) {
+        for (int64_t p = g.xadj[v]; p < g.xadj[v + 1]; ++p)
+            deg[v] += (double)g.ewt[p];
+        dmax = std::max(dmax, deg[v]);
+    }
+    const double c = 1.0001 * dmax + 1.0;
+    if ((int64_t)x.size() != nv) {
+        x.resize(nv);
+        for (int64_t v = 0; v < nv; ++v)
+            x[v] = (double)(splitmix64(salt ^ (uint64_t)v) % 4096)
+                - 2048.0;
+    }
+    std::vector<double> y(nv);
+    for (int it = 0; it < iters; ++it) {
+        // y = (c I - L) x = (c - deg) x + W x
+        for (int64_t v = 0; v < nv; ++v) {
+            double s = (c - deg[v]) * x[v];
+            for (int64_t p = g.xadj[v]; p < g.xadj[v + 1]; ++p)
+                s += (double)g.ewt[p] * x[g.adj[p]];
+            y[v] = s;
+        }
+        // deflate the constant vector, renormalize
+        double mean = 0.0;
+        for (int64_t v = 0; v < nv; ++v) mean += y[v];
+        mean /= (double)nv;
+        double nrm = 0.0;
+        for (int64_t v = 0; v < nv; ++v) {
+            y[v] -= mean;
+            nrm += y[v] * y[v];
+        }
+        nrm = std::sqrt(nrm);
+        if (nrm < 1e-30) return;           // disconnected / degenerate
+        for (int64_t v = 0; v < nv; ++v) x[v] = y[v] / nrm;
+    }
+}
+
+// Fiedler-sweep separator candidates from a precomputed Fiedler vector:
+// order vertices by ``f``, pick the ``npick`` feasible prefixes with the
+// smallest edge cut, turn each into a vertex separator.  Appends
+// candidate sides to ``out``.
+void spectral_candidates(const WG& g, const std::vector<double>& f,
+                         std::vector<std::vector<int8_t>>& out,
+                         int npick) {
+    const int64_t nv = g.nv;
+    if (nv < 8 || (int64_t)f.size() != nv) return;
+    std::vector<std::pair<double, int64_t>> byf(nv);
+    for (int64_t v = 0; v < nv; ++v) byf[v] = {f[v], v};
+    std::sort(byf.begin(), byf.end());
+    // incremental sweep: move vertices into A in Fiedler order, track
+    // the edge cut and the balance
+    std::vector<int8_t> inA(nv, 0);
+    std::vector<std::tuple<int64_t, int64_t>> cuts;   // (cut, prefix len)
+    int64_t cut = 0, wa = 0;
+    const int64_t floor_w = bal_floor(g.totw);
+    for (int64_t k = 0; k < nv - 1; ++k) {
+        int64_t v = byf[k].second;
+        for (int64_t p = g.xadj[v]; p < g.xadj[v + 1]; ++p)
+            cut += inA[g.adj[p]] ? -g.ewt[p] : g.ewt[p];
+        inA[v] = 1;
+        wa += g.vwt[v];
+        if (wa >= floor_w && g.totw - wa >= floor_w)
+            cuts.emplace_back(cut, k + 1);
+    }
+    std::sort(cuts.begin(), cuts.end());
+    for (int c = 0; c < npick && c < (int)cuts.size(); ++c) {
+        auto [cw, len] = cuts[c];
+        std::vector<int8_t> ab(nv, SB);
+        for (int64_t k = 0; k < len; ++k) ab[byf[k].second] = SA;
+        // two separator constructions per cut: the König minimum cover
+        // (fewest vertices) and the lighter one-sided boundary (respects
+        // vertex weights) — FM + cost selection keep the better basin
+        std::vector<int8_t> side = ab;
+        min_cover_sep(g, side);
+        if (valid_sides(g, side)) out.push_back(std::move(side));
+        int64_t ba = 0, bb = 0;
+        for (int64_t v = 0; v < nv; ++v) {
+            bool bnd = false;
+            for (int64_t p = g.xadj[v]; p < g.xadj[v + 1] && !bnd; ++p)
+                bnd = (ab[g.adj[p]] != ab[v]);
+            if (bnd) ((ab[v] == SA) ? ba : bb) += g.vwt[v];
+        }
+        cover_from_cut(g, ab, ba <= bb);
+        if (valid_sides(g, ab)) out.push_back(std::move(ab));
+    }
+}
+
+// Best-of-several initial separator on the coarsest graph: BFS level
+// cuts from varied roots plus greedy-growing cuts from varied seeds,
+// each FM-refined, ranked by (separator weight, balance).
+bool init_vsep_multi(const WG& g, std::vector<int8_t>& side,
+                     uint64_t salt, int tries,
+                     const std::vector<double>* fiedler = nullptr,
+                     int npick = 2) {
+    std::pair<int64_t, int64_t> best{INT64_MAX, INT64_MAX};
+    std::vector<std::vector<int8_t>> cands;
+    if (fiedler) spectral_candidates(g, *fiedler, cands, npick);
+    std::vector<int8_t> cand;
+    for (int t = 0; t < tries; ++t) {
+        bool ok;
+        if (t % 2 == 0)
+            ok = init_level_cut(
+                g, cand,
+                (int64_t)(splitmix64(salt + 2 * t) % (uint64_t)g.nv));
+        else
+            ok = init_gggp(g, cand, salt + 2 * t + 1);
+        if (ok) cands.push_back(cand);
+    }
+    for (auto& c2 : cands) {
+        fm_refine_w(g, c2);
+        auto cost = cut_cost(g, c2);
+        if (cost < best) {
+            best = cost;
+            side = std::move(c2);
+        }
+    }
+    return best.first != INT64_MAX;
+}
+
+// One coarsening step: heavy-edge matching in pseudo-random visit order
+// (``salt`` varies the order between attempts); matched pairs merge,
+// edge weights accumulate, vertex weights add.  Matches whose combined
+// weight exceeds ``wcap`` are skipped so balanced cuts stay
+// representable on the coarse graph (METIS does the same).
 void coarsen(const WG& g, WG& cg, std::vector<int64_t>& cmap,
-             int64_t wcap) {
+             int64_t wcap, uint64_t salt) {
     const int64_t nv = g.nv;
     cmap.assign(nv, -1);
     std::vector<int64_t> ord(nv);
     for (int64_t v = 0; v < nv; ++v) ord[v] = v;
-    std::sort(ord.begin(), ord.end(), [](int64_t a, int64_t b) {
-        uint64_t ha = splitmix64((uint64_t)a), hb = splitmix64((uint64_t)b);
+    std::sort(ord.begin(), ord.end(), [salt](int64_t a, int64_t b) {
+        uint64_t ha = splitmix64(salt ^ (uint64_t)a);
+        uint64_t hb = splitmix64(salt ^ (uint64_t)b);
         return ha < hb || (ha == hb && a < b);
     });
     int64_t nc = 0;
@@ -410,48 +790,76 @@ std::pair<int64_t, int64_t> cut_cost(const WG& g,
         else ws += g.vwt[v];
     }
     if (!has_a || !has_b) return {INT64_MAX, INT64_MAX};
-    return {ws, std::max(wa, wb)};
+    // rank a cut below the balance floor behind every cut above it (but
+    // ahead of "no cut"): compare by (floor violation, sep, max side)
+    // folded into the first key
+    int64_t viol = std::max<int64_t>(
+        0, bal_floor(g.totw) - std::min(wa, wb));
+    return {ws + viol * (g.totw / 8 + 1), std::max(wa, wb)};
 }
 
 // Multilevel vertex separator: coarsen until small (or matching stalls),
-// cut the coarsest graph, then project + FM-refine back up the levels.
-// At every level the projected-and-refined cut competes against a direct
-// fine-level cut (BFS level set + FM); the better of the two survives —
-// projection can carry imbalance down the hierarchy that refinement alone
-// cannot repair, and the direct cut is the safety net.
-bool multilevel_vsep(const WG& g, std::vector<int8_t>& side) {
+// cut the coarsest graph with the best of several level-cut / greedy-
+// growing attempts, then project + FM-refine back up the levels.  A
+// direct fine-level cut serves as the fallback when coarsening stalls
+// or the projected cut comes back invalid.
+bool multilevel_vsep(const WG& g, std::vector<int8_t>& side,
+                     uint64_t salt, std::vector<double>* fout = nullptr) {
     std::pair<int64_t, int64_t> ml_cost{INT64_MAX, INT64_MAX};
     std::vector<int8_t> ml_side;
-    if (g.nv > 240) {
+    std::vector<double> fiedler;
+    const int64_t coarse = nd_coarse_size();
+    bool coarsened = false;
+    if (g.nv > coarse) {
         WG cg;
         std::vector<int64_t> cmap;
-        // cap merged supervertices at ~1.5x the average weight of a
-        // 240-vertex coarsest graph so balanced coarse cuts stay possible
-        int64_t wcap = std::max<int64_t>(1, (3 * g.totw) / (2 * 240));
-        coarsen(g, cg, cmap, wcap);
+        // cap merged supervertices at ~1.5x the average weight of the
+        // coarsest graph so balanced coarse cuts stay possible
+        int64_t wcap = std::max<int64_t>(1, (3 * g.totw) / (2 * coarse));
+        coarsen(g, cg, cmap, wcap, salt);
         if (cg.nv < (g.nv * 17) / 20) {          // made real progress
+            coarsened = true;
             std::vector<int8_t> cside;
-            if (multilevel_vsep(cg, cside)) {
+            std::vector<double> cf;
+            if (multilevel_vsep(cg, cside, splitmix64(salt), &cf)) {
                 ml_side.resize(g.nv);
                 for (int64_t v = 0; v < g.nv; ++v)
                     ml_side[v] = cside[cmap[v]];
                 fm_refine_w(g, ml_side);
                 ml_cost = cut_cost(g, ml_side);
             }
+            // interpolate the coarse Fiedler vector and smooth a few
+            // iterations: the fine-level waist detail a 240-vertex
+            // graph cannot represent comes back level by level
+            if ((int64_t)cf.size() == cg.nv) {
+                fiedler.resize(g.nv);
+                for (int64_t v = 0; v < g.nv; ++v)
+                    fiedler[v] = cf[cmap[v]];
+                fiedler_iterate(g, fiedler, (int)nd_smooth_iters(), salt);
+            }
         }
         // fall through: matching stalled or coarse cut failed
     }
+    if (fiedler.empty())
+        fiedler_iterate(g, fiedler,
+                        coarsened ? (int)nd_smooth_iters() : 60,
+                        salt ^ 0xfeed);
+    // the projected cut competes against direct fine-level cuts: BFS
+    // level sets (on grid-like graphs a level set IS the optimal flat
+    // separator), greedy growing at the coarsest graph, and the
+    // Fiedler-sweep waist cuts at EVERY level
     std::pair<int64_t, int64_t> dir_cost{INT64_MAX, INT64_MAX};
-    if (init_vsep(g, side)) {
-        fm_refine_w(g, side);
+    if (init_vsep_multi(g, side, salt, g.nv <= coarse ? 6 : 1, &fiedler,
+                        g.nv <= coarse ? 5 : 2))
         dir_cost = cut_cost(g, side);
-    }
     if (ml_cost < dir_cost) side = std::move(ml_side);
+    if (fout) *fout = std::move(fiedler);
     return std::min(ml_cost, dir_cost).first != INT64_MAX;
 }
 
 
-void dissect(Ctx& c, std::vector<int64_t> S, int64_t t) {
+
+void dissect(Ctx& c, std::vector<int64_t> S, int64_t t, int depth = 0) {
     const int64_t m = (int64_t)S.size();
     if (m <= c.leaf) {
         order_leaf(c, S, t);
@@ -477,7 +885,7 @@ void dissect(Ctx& c, std::vector<int64_t> S, int64_t t) {
             comps.emplace_back(std::move(more), tc);
         }
         for (auto& cc : comps)
-            dissect(c, std::move(cc.first), cc.second);
+            dissect(c, std::move(cc.first), cc.second, depth);
         return;
     }
 
@@ -503,9 +911,27 @@ void dissect(Ctx& c, std::vector<int64_t> S, int64_t t) {
         g.totw += g.vwt[i];
     }
 
-    std::vector<int8_t> side;
-    if (!multilevel_vsep(g, side)) {
+    // several independent multilevel attempts at the shallow depths,
+    // where separator quality dominates total fill; one attempt deeper
+    // down, where the subgraphs are small and numerous
+    const int attempts = depth == 0 ? 4 : (depth <= 2 ? 3 : 1);
+    std::vector<int8_t> side, cand;
+    std::pair<int64_t, int64_t> best{INT64_MAX, INT64_MAX};
+    for (int at = 0; at < attempts; ++at) {
+        if (!multilevel_vsep(g, cand,
+                             c.salt0 + 0x9e37u * (at + 1)))
+            continue;
+        auto cost = cut_cost(g, cand);
+        if (cost < best) {
+            best = cost;
+            side = cand;
+        }
+    }
+    if (best.first == INT64_MAX) {
         // dense blob / expander-like subgraph: no useful separator
+        if (nd_stats_level() >= 0 && m > 500)
+            std::fprintf(stderr, "nd depth %d: NO-SEP takeover m=%lld\n",
+                         depth, (long long)m);
         order_leaf(c, S, t);
         return;
     }
@@ -520,8 +946,23 @@ void dissect(Ctx& c, std::vector<int64_t> S, int64_t t) {
     // recursing is worse than minimum degree on the whole subgraph
     // (expander-like blobs); MD-order it and stop
     if (A.empty() || B.empty() || sep.empty() || sepw > g.totw / 3) {
+        if (nd_stats_level() >= 0 && m > 500)
+            std::fprintf(stderr,
+                         "nd depth %d: GATE takeover m=%lld sepw=%lld\n",
+                         depth, (long long)m, (long long)sepw);
         order_leaf(c, S, t);
         return;
+    }
+    if (depth <= nd_stats_level()) {
+        int64_t wa2 = 0, wb2 = 0;
+        for (int64_t i = 0; i < m; ++i) {
+            if (side[i] == SA) wa2 += g.vwt[i];
+            else if (side[i] == SB) wb2 += g.vwt[i];
+        }
+        std::fprintf(stderr,
+                     "nd depth %d: tot %lld sep %lld a %lld b %lld\n",
+                     depth, (long long)g.totw, (long long)sepw,
+                     (long long)wa2, (long long)wb2);
     }
     int64_t ta = c.next_tag++;
     int64_t tb = c.next_tag++;
@@ -529,8 +970,8 @@ void dissect(Ctx& c, std::vector<int64_t> S, int64_t t) {
     for (int64_t v : A) c.tag[v] = ta;
     for (int64_t v : B) c.tag[v] = tb;
     for (int64_t v : sep) c.tag[v] = ts;
-    dissect(c, std::move(A), ta);
-    dissect(c, std::move(B), tb);
+    dissect(c, std::move(A), ta, depth + 1);
+    dissect(c, std::move(B), tb, depth + 1);
     order_leaf(c, sep, ts);       // separator eliminated last
 }
 
@@ -577,11 +1018,18 @@ int64_t run_dissect(Ctx& c) {
 
 extern "C" {
 
-int64_t nd_order(int64_t n, const int64_t* Ap, const int64_t* Ai,
-                 int64_t* perm) {
+int64_t nd_order_salted(int64_t n, const int64_t* Ap, const int64_t* Ai,
+                        int64_t* perm, int64_t salt) {
     if (n <= 0) return 0;
     Ctx c;
     c.n = n;
+    c.salt0 = salt ? splitmix64((uint64_t)salt) : 0;
+    c.leaf = nd_leaf_size();
+    static const int64_t smooth_extra[3] = {0, 7, 20};
+    g_smooth_extra = smooth_extra[(uint64_t)salt % 3];
+    static const int64_t bal[3][2] = {{0, 1}, {1, 4}, {3, 8}};
+    g_bal_num = bal[(uint64_t)salt % 3][0];
+    g_bal_den = bal[(uint64_t)salt % 3][1];
     // symmetrized adjacency without the diagonal
     std::vector<int64_t> deg(n, 0);
     for (int64_t j = 0; j < n; ++j)
@@ -700,6 +1148,7 @@ int64_t nd_order(int64_t n, const int64_t* Ap, const int64_t* Ai,
     }
     Ctx q;
     q.n = n_groups;
+    q.salt0 = c.salt0;
     // keep the MD-takeover threshold in *original* vertices: a quotient
     // leaf of leaf/ratio supervariables expands to ~leaf vertices
     q.leaf = std::max<int64_t>(32, (c.leaf * n_groups) / n);
@@ -733,6 +1182,11 @@ int64_t nd_order(int64_t n, const int64_t* Ap, const int64_t* Ai,
             perm[pos++] = gmem[p];
     }
     return (pos == n) ? 0 : -1;
+}
+
+int64_t nd_order(int64_t n, const int64_t* Ap, const int64_t* Ai,
+                 int64_t* perm) {
+    return nd_order_salted(n, Ap, Ai, perm, 0);
 }
 
 int64_t symbolic_lnz(int64_t n, const int64_t* Ap, const int64_t* Ai,
