@@ -148,6 +148,18 @@ def _k_dots_t(a, fa, b, fb, k, B):
     return jnp.einsum('ij,ij->j', _cj(wb), wa)
 
 
+@partial(jax.jit, static_argnames=('B',))
+def _k_dots_t_comp(a, fa, b, fb, k, B):
+    # compensated twin of _k_dots_t: the per-lane reduction over the k
+    # vectors as an exact-product (sum, err) pair — the contraction is
+    # short (k <= B) but the PRODUCTS are f32-rounded on the plain path,
+    # which caps truncation-error tracking at ~1e-7 relative
+    from ..ops.compensated import comp_dots_pair
+    wa = _win(a, fa, B)
+    wb = _win(b, fb, B) * _rowmask(B, k, b.dtype)
+    return comp_dots_pair(wa.T, wb.T)
+
+
 @partial(jax.jit, static_argnames=('Ba', 'Bo'), donate_argnames=('out',))
 def _k_multiply(a, fa, Ba, q, out, fo, ko, Bo):
     # q is zero-padded to (Ba, Bo): padded rows of `a` weighted by zero
@@ -581,6 +593,11 @@ class Vectors:
         k = self.nvec()
         B = bucket(k)
         if transp:
+            if self._comp_active(other, keep):
+                from ..ops.compensated import to_float64
+                return to_float64(_k_dots_t_comp(
+                    self._array, self._sel[0], other._array,
+                    other._sel[0], k, B))
             r = _k_dots_t(self._array, self._sel[0],
                           other._array, other._sel[0], k, B)
             return r if keep else np.asarray(r)

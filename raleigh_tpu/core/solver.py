@@ -274,12 +274,63 @@ class Solver:
                     print('core solver return status %d' % status)
                 return status - 1
             if status == 0:
+                self._maybe_refine_eigenvalues(eigenvectors, verb)
                 return 0
         # CG could not (or was not asked to) compute everything: finish with
         # a dense Rayleigh-Ritz procedure in the orthogonal complement of the
         # converged eigenvectors (reference core/solver.py:496-585)
         self._dense_complement_rr(eigenvectors, verb)
+        self._maybe_refine_eigenvalues(eigenvectors, verb)
         return 0
+
+    def _maybe_refine_eigenvalues(self, Xc, verb=0):
+        """Final compensated Rayleigh-quotient pass: when the iterated
+        Vectors advertise compensated reductions (d/z-on-TPU option,
+        ``Vectors(compensated=True)``), re-evaluate every converged
+        eigenvalue as <x, A x> / <x, B x> through the exact-product dot
+        path (ops/compensated.py) and f64 host combination.  The hot
+        iteration keeps its device-resident f32 Grams — only this one
+        per-solve reduction pays the compensated cost, and it removes
+        the ~1e-7 f32 ceiling the device-kept Ritz values carry (the
+        converged VECTORS are far more accurate than the f32 Rayleigh
+        quotients that reported them; measured 1e-7 -> 1e-10 class on
+        the 2e5 diagonal pin, tests/test_algebra.py)."""
+        active = getattr(Xc, '_comp_active', None)
+        if active is None or not active(Xc, False):
+            return
+        k = min(Xc.nvec(), self.eigenvalues.size)
+        if k == 0:
+            return
+        problem = self.__problem
+        ptype = problem.type()
+        opA, opB = problem.A(), problem.B()
+        n = Xc.dimension()
+        sel = Xc.selected()
+        try:
+            Xc.select(k)
+            Y = Xc.new_vectors(k, n)
+            if ptype == 'p':                      # A B x = lmd x
+                Z = Xc.new_vectors(k, n)
+                opB.apply(Xc, Z)
+                opA.apply(Z, Y)
+                num = Xc.dots(Y)
+                den = Xc.dots(Xc)
+            else:
+                opA.apply(Xc, Y)
+                num = Xc.dots(Y)
+                if ptype == 'g':                  # A x = lmd B x
+                    Z = Xc.new_vectors(k, n)
+                    opB.apply(Xc, Z)
+                    den = Xc.dots(Z)
+                else:
+                    den = Xc.dots(Xc)
+            refined = np.real(np.asarray(num)) / np.real(np.asarray(den))
+            self.eigenvalues = self.eigenvalues.copy()
+            self.eigenvalues[:k] = refined[:k]
+            if verb > 1:
+                print('compensated eigenvalue refinement over %d pairs' % k)
+        finally:
+            Xc.select(sel[1], sel[0])
 
     # ------------------------------------------------------------------
 
