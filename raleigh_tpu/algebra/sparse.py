@@ -392,7 +392,7 @@ class Chebyshev:
         return run
 
     def device_rows_operands(self, m, n=None, dtype=None, tile=32768,
-                             stream_bf16=False):
+                             stream_bf16=None):
         """Argument-form fused recurrence for superkernel consumers:
         (fn, operands) with ``fn(operands, w)`` applying the whole
         ``degree``-step Chebyshev recurrence to an (m, n) row block.  The
@@ -401,14 +401,21 @@ class Chebyshev:
         superkernel contains no matrix literals — pass the pair straight
         to ``core.device_solver.lobpcg(precond=...)``.
 
-        ``stream_bf16=True`` runs the recurrence's iterates in bfloat16
+        ``stream_bf16`` runs the recurrence's iterates in bfloat16
         (f32 diagonal values and accumulation inside the SpMM, f32 in
         and out): the window kernel sits at the HBM streaming roofline,
         so at HBM-resident sizes this nearly doubles the preconditioner
-        throughput.  A preconditioner is an APPROXIMATE inverse — its
-        own quality target is percent-level — so bf16 iterate rounding
-        costs convergence nothing; the solver's accuracy is set by the
-        f32/f64 outer iteration, not by T."""
+        throughput (measured 15.4 vs 8.1 Gnnz/s, BENCH
+        ``dia_spmm_hbm_bf16_gnnz_per_s``).  A preconditioner is an
+        APPROXIMATE inverse — its own quality target is percent-level —
+        so bf16 iterate rounding costs convergence nothing; the solver's
+        accuracy is set by the f32/f64 outer iteration, not by T
+        (accuracy guard: tests/test_device_solver.py pins identical
+        LOBPCG iteration counts either way).  Default ``None`` = auto:
+        ON when the outer iteration is f32 and the recurrence's working
+        set is HBM-resident (the regime where the stream rate IS the
+        preconditioner cost), OFF below that, where the operand stays
+        VMEM/cache-resident and the cast traffic would only add work."""
         import jax.numpy as jnp
 
         from ..ops.spmm import rows_matmat_operands
@@ -418,6 +425,13 @@ class Chebyshev:
             n = dev.shape[0]
         if dtype is None:
             dtype = jnp.float32
+        if stream_bf16 is None:
+            noff = len(getattr(dev, 'offsets', ()))
+            ws = 2 * m * n * 4 + noff * n * 4
+            stream_bf16 = (noff > 0
+                           and np.dtype(dtype) == np.dtype(np.float32)
+                           and ws > getattr(dev, 'WINDOW_HBM_BYTES',
+                                            112 * 2 ** 20))
         it_dtype = jnp.bfloat16 if stream_bf16 else dtype
         if hasattr(dev, 'rows_operand_form'):
             mat_fn, ops = dev.rows_operand_form(m, n, dtype=it_dtype,

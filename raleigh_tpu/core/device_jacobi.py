@@ -40,7 +40,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
-from functools import partial
+from functools import lru_cache, partial
 
 from .solver import (Solver, Options, DefaultConvergenceCriteria, HISTORY,
                      _find_clusters, _shift_slot_data, EstimatedErrors)
@@ -63,10 +63,19 @@ def svd_normal_matmat(adata, transp, shift, aves=None):
     closed-over jax.Array is baked into the compiled program as a
     literal, so every new dataset would re-compile the whole chunk
     superkernel (and defeat the persistent compilation cache; on a
-    tunneled device that is minutes of remote compile per PCA call)."""
+    tunneled device that is minutes of remote compile per PCA call).
+
+    The returned function object is cached per (transp, shift, m) so
+    that repeated calls hand the engine the SAME callable — the shared
+    kernel cache below then reuses the loaded executables across engine
+    instances instead of paying a remote first-execution per solve."""
     m = adata.shape[0]
     operands = (adata, aves) if shift else (adata,)
+    return _normal_matmat_fn(bool(transp), bool(shift), m), operands
 
+
+@lru_cache(maxsize=64)
+def _normal_matmat_fn(transp, shift, m):
     if transp:
         def matmat(ops, x):
             adata = ops[0]
@@ -88,7 +97,18 @@ def svd_normal_matmat(adata, transp, shift, aves=None):
                     s = jnp.sum(z, axis=1, keepdims=True)
                     z = z - s / m
             return jnp.matmul(z, _cj(adata), precision=_HI)
-    return matmat, operands
+    return matmat
+
+
+# Shared kernel store: engine instances with the same operator identity
+# (the function objects themselves — held strongly here, so CPython
+# cannot recycle their ids) and signature share jitted kernels.  Without
+# this every PCA/EVP call builds fresh jit closures, and each program's
+# FIRST execution pays a ~1 s remote executable load on a tunneled
+# device — ~10 programs per solve was the bulk of the round-4
+# ``pca_jacobi_3000x10k_npc100_s`` time.
+_SHARED_KERNELS = {}
+_SHARED_KERNELS_MAX = 64
 
 
 class DeviceJacobi:
@@ -155,7 +175,15 @@ class DeviceJacobi:
         self._xc = None       # (K, dim) locked rows, zero beyond _nc
         self._axc = None
         self._nc = 0
-        self._kernels = {}
+        ident = (self.dim, np.dtype(dtype).str, self.matmat, self.precond,
+                 self._precond_has_ops, self.matmat_b,
+                 operands is not None, operands_b is not None)
+        try:
+            if len(_SHARED_KERNELS) >= _SHARED_KERNELS_MAX:
+                _SHARED_KERNELS.clear()
+            self._kernels = _SHARED_KERNELS.setdefault(ident, {})
+        except TypeError:       # unhashable operator callables
+            self._kernels = {}
 
     # -- Solver API surface used by stopping criteria ---------------------
 
@@ -531,11 +559,21 @@ class DeviceJacobi:
     # -- driver ------------------------------------------------------------
 
     def solve(self, eigenvectors, options=None, nwanted=-1, chunk=8,
-              verb=0):
+              verb=0, pipeline=1):
         """Compute eigenpairs at the upper margin; converged eigenvectors
         are appended (as rows) to ``eigenvectors``.  Returns a Solver-
         compatible status: 0 success, 2 iteration limit, 3 no search
-        directions."""
+        directions.
+
+        ``pipeline``: chunks kept in flight beyond the one whose stats
+        the host is processing.  The default is 1 (serial): measured on
+        the flagship PCA workload, speculative depth 2 DEGRADES locked
+        accuracy — a slot judged converged at chunk k has near-zero
+        residual, so during chunk k+1 its fresh search direction is
+        numerically dead and the in-chunk dead-column handling can
+        replace it before the deferred lock lands.  Prompt locking is
+        load-bearing; the sync cost is attacked by the shared kernel
+        store (loaded executables reused across solves) instead."""
         if options is None:
             options = Options()
         verb = max(verb, options.verbosity)
@@ -623,11 +661,18 @@ class DeviceJacobi:
         self.lcon = 0
         status = 2
 
-        while True:
-            if np.amax(iterations) >= max_iter:
-                status = 2
-                break
-            iters = int(min(chunk, max(1, max_iter - np.amax(iterations))))
+        # Chunked dispatch loop: ONE stats sync per chunk of iterations
+        # (the only per-chunk host<->device round trip).  With
+        # ``pipeline`` > 1 further chunks dispatch speculatively before
+        # the sync and the convergence sweep lags the newest state,
+        # locking deferred until the pipeline drains — see the solve()
+        # docstring for why that is NOT the default.
+        inflight = []             # [(iters, stat handles), ...]
+        dispatched = 0            # iterations dispatched (>= replayed)
+
+        def dispatch_chunk():
+            nonlocal state, dispatched
+            iters = int(min(chunk, max(1, max_iter - dispatched)))
             state, lam_k, res_k, lam_h_k, dx_h_k, ge_k = run_chunk(
                 state, self._operands, self._operands_b,
                 self._operands_p, iters)
@@ -637,13 +682,33 @@ class DeviceJacobi:
                 self._xc, self._axc, self._bxc = state[6:9]
             else:
                 self._xc, self._axc = state[4], state[5]
-            lam, res, lam_h, dx_h, gram_err = jax.device_get(
-                (lam_k, res_k, lam_h_k, dx_h_k, ge_k))
+            dispatched += iters
+            inflight.append((iters, (lam_k, res_k, lam_h_k, dx_h_k, ge_k)))
+
+        draining = False          # lock pending: stop dispatching ahead
+        pending_rcon = 0          # sweep verdict carried across the drain
+
+        while True:
+            if np.amax(iterations) >= max_iter and not inflight:
+                status = 2
+                break
+            while (not draining and len(inflight) < max(1, int(pipeline))
+                   and dispatched < max_iter):
+                dispatch_chunk()
+            iters, handles = inflight.pop(0)
+            lam, res, lam_h, dx_h, gram_err = jax.device_get(handles)
             if (gram_err > math.sqrt(epsilon)
                     or not np.all(np.isfinite(lam))):
                 # Ritz-quality restart (reference core/solver.py:854-920):
                 # re-orthonormalize the block against the constraints,
-                # recompute its A-image, reset conjugate directions
+                # recompute its A-image, reset conjugate directions.
+                # In-flight speculative chunks continued the degenerate
+                # trajectory — count their iterations, drop their stats
+                for it2, _h in inflight:
+                    iterations += it2
+                    self.iteration += it2
+                inflight.clear()
+                draining = False
                 if verb > 0:
                     print('restarting (block non-orthonormality %.1e)...'
                           % gram_err)
@@ -718,6 +783,23 @@ class DeviceJacobi:
                 err_X=self.err_X, verb=verb)
             if nwanted > 0:
                 rcon = min(rcon, nwanted - self.rcon)
+            # a sweep verdict from before the drain survives it: the
+            # extra iterations can invalidate the freshness of the
+            # kinematic estimates the criteria consult, so the re-sweep
+            # alone may no longer fire for slots already judged converged
+            rcon = max(rcon, pending_rcon)
+
+            if rcon > 0 and inflight:
+                # convergence detected on stats one chunk behind the
+                # newest state: drain the pipeline first, so locking acts
+                # on a state consistent with the stats it was judged by
+                # (the converged slots just iterate a few more nearly
+                # free iterations meanwhile)
+                pending_rcon = rcon
+                draining = True
+                continue
+            pending_rcon = 0
+            draining = False
 
             if rcon > 0 and self._nc + rcon > K:
                 # grow constraint capacity (rebuilds the kernels); only

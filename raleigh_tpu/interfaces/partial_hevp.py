@@ -42,7 +42,30 @@ def partial_hevp(A, B=None, T=None, buckling=False, sigma=0, which=6,
     if buckling and sigma >= 0:
         raise ValueError('sigma must be negative in buckling mode')
 
-    if str(arch).lower().startswith(('tpu', 'gpu', 'jax')):
+    device_arch = str(arch).lower().startswith(('tpu', 'gpu', 'jax'))
+    if device_arch and T is None:
+        # factorization path on a device arch: the LDL^T solve runs on
+        # the host, so device-orchestrated block algebra ships the solve
+        # block across the link every iteration.  Decide from a MEASURED
+        # link probe, not a hard-coded assumption (utils/link.py): a
+        # co-located device orchestrates on device; the remote tunnel
+        # (MB/s) keeps the iteration host-side.  ``opt.orchestration``
+        # ('host'/'device') overrides.
+        from ..utils.link import choose_orchestration
+        forced = getattr(opt, 'orchestration', 'auto') if opt else 'auto'
+        if forced == 'auto':
+            blk = getattr(opt, 'block_size', -1) if opt else -1
+            blk = blk if blk and blk > 0 else 32
+            n_hint = A.size() if isinstance(A, SparseSymmetricSolver) \
+                else A.shape[0]
+            choice = choose_orchestration(n_hint, blk)
+        else:
+            choice = forced
+        if choice == 'host':
+            if verb > 0:
+                print('link probe: host-side orchestration')
+            device_arch = False
+    if device_arch:
         from ..algebra import dense_jax as backend
     else:
         from ..algebra import dense_numpy as backend

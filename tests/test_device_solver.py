@@ -634,3 +634,94 @@ def test_device_jacobi_gen_restart_path(monkeypatch):
     exact = sla.eigh(A, B, eigvals_only=True)
     assert np.abs(np.sort(engine.eigenvalues)[-4:] - exact[-4:]).max() \
         / abs(exact[-1]) < 1e-6
+
+
+def test_device_jacobi_one_sync_per_chunk():
+    """The chunked engine's only per-chunk host round trip is the single
+    stats fetch: a solve of C chunks performs exactly C device_get calls
+    (VERDICT r4 #4 — the engine must not pay a second fetch per
+    iteration; the per-iteration history rides the chunk fetch)."""
+    import jax.numpy as jnp
+    from raleigh_tpu.core import device_jacobi as dj
+    from raleigh_tpu.core.solver import Options, DefaultConvergenceCriteria
+    from raleigh_tpu.algebra import dense_jax
+
+    n = 400
+    d = jnp.asarray(np.linspace(1.0, 40.0, n).astype(np.float32))
+
+    def matmat(ops, x):
+        return x * ops[0][None, :]
+
+    eng = dj.DeviceJacobi(matmat, n, dtype=np.float32, operands=(d,))
+    v = dense_jax.Vectors(n, data_type=np.float32)
+    opt = Options()
+    opt.convergence_criteria = DefaultConvergenceCriteria()
+    opt.convergence_criteria.set_error_tolerance('k eigenvector error', 1e-6)
+    opt.verbosity = -1
+
+    calls = [0]
+    orig = dj.jax.device_get
+
+    def counting_get(x):
+        calls[0] += 1
+        return orig(x)
+
+    dj.jax.device_get = counting_get
+    try:
+        status = eng.solve(v, options=opt, nwanted=5, chunk=8)
+    finally:
+        dj.jax.device_get = orig
+    assert status == 0
+    chunks = -(-eng.iteration // 8)
+    assert calls[0] == chunks, (calls[0], chunks, eng.iteration)
+    # and the fetch count per iteration is well under 1
+    assert calls[0] <= eng.iteration / 4
+
+
+def test_bf16_auto_routing_and_iteration_parity(lap):
+    """VERDICT r4 #3: bf16 operand streaming is the ROUTED DEFAULT for
+    Chebyshev applies in the HBM-resident regime, and the accuracy guard
+    is iteration-count parity — a preconditioner is percent-level by
+    design, so bf16 iterates must not change the outer iteration count."""
+    import jax
+    import jax.numpy as jnp
+    from raleigh_tpu.core.device_solver import lobpcg
+    from raleigh_tpu.ops.spmm import device_sparse
+    from raleigh_tpu.algebra.sparse import Chebyshev, spectral_bounds
+
+    a, exact = lap
+    n = a.shape[0]
+    lo, hi = spectral_bounds(a)
+    ch = Chebyshev(a, hi * 1e-4, hi, degree=10, arch='tpu')
+    dm = device_sparse(a)
+
+    # accuracy guard: identical iteration counts either way at the
+    # tolerances of the HBM regime the auto-routing targets (1e-4/1e-5;
+    # far past that the weaker bf16 inverse starts costing iterations,
+    # which is why auto stays OFF below the HBM working-set bound)
+    for tol in (1e-4, 1e-5):
+        lam = {}
+        its = {}
+        for flag in (False, True):
+            pre = ch.device_rows_operands(8, n, stream_bf16=flag)
+            lmd, x, r, it, st = lobpcg(dm, 6, precond=pre, block_size=8,
+                                       tol=tol, maxit=300)
+            assert st == 0
+            lam[flag], its[flag] = lmd, it
+        assert its[True] == its[False], (tol, its)
+        assert np.abs(lam[True] - lam[False]).max() < 1e-3 * hi
+
+    # auto routing: below the HBM bound the iterates stay f32; with the
+    # bound forced to zero on the device matrix, auto flips to bf16
+    x0 = jnp.zeros((8, n), jnp.float32)
+    fn, ops = ch.device_rows_operands(8, n)
+    assert 'bf16' not in str(jax.make_jaxpr(fn)(ops, x0))
+    dev = ch.device_matrix() if hasattr(ch, 'device_matrix') else None
+    dm2 = ch._Chebyshev__dev_override or \
+        ch._Chebyshev__op.device_matrix()
+    dm2.WINDOW_HBM_BYTES = 0          # instance override: fake HBM regime
+    try:
+        fn2, ops2 = ch.device_rows_operands(8, n)
+        assert 'bf16' in str(jax.make_jaxpr(fn2)(ops2, x0))
+    finally:
+        del dm2.WINDOW_HBM_BYTES
