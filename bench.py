@@ -415,15 +415,209 @@ def _extra_pca_tol(a):
 
 def _extra_pca_jacobi(a):
     """Reference-parity block Jacobi-CG PCA engine (per-vector
-    convergence control) on a quarter-scale slice of the bench matrix."""
+    convergence control) on a quarter-scale slice of the bench matrix.
+
+    Warm methodology like the headline: one untimed call on a DIFFERENT
+    data slice loads the engine's (shared, persistently cached) programs
+    — proving no data is compiled in — then the timed call on the
+    recorded slice measures the steady state a production service sees.
+    Returns (timed seconds, warm seconds)."""
     import numpy as np
     from raleigh_tpu.interfaces.pca import pca
 
-    sub = np.asarray(a[:3000, :10000])
+    warm_sub = np.asarray(a[:3000, 10000:20000])
     t0 = time.time()
-    mean, trans, comps = pca(sub, npc=100, arch='tpu', method='jacobi')
-    assert comps.shape[0] == 100
-    return round(time.time() - t0, 3)
+    pca(warm_sub, npc=100, arch='tpu', method='jacobi')
+    warm = time.time() - t0
+    sub = np.asarray(a[:3000, :10000])
+    best = None
+    for _ in range(2):          # min of 2: the tunnel's rate wanders
+        t0 = time.time()
+        mean, trans, comps = pca(sub, npc=100, arch='tpu',
+                                 method='jacobi')
+        assert comps.shape[0] == 100
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3), round(warm, 3)
+
+
+def _eigsh_subprocess(script, timeout_s):
+    """Run a scipy eigsh comparison in a subprocess under ``timeout``:
+    eigsh cannot be interrupted in-thread, and a runaway ARPACK run must
+    not eat the bench budget.  Returns (seconds, False) on completion or
+    (timeout, True) as a lower bound."""
+    t0 = time.time()
+    try:
+        proc = subprocess.run([sys.executable, '-c', script],
+                              timeout=timeout_s, capture_output=True)
+        if proc.returncode != 0:
+            raise RuntimeError(proc.stderr.decode()[-300:])
+        return round(time.time() - t0, 1), False
+    except subprocess.TimeoutExpired:
+        return round(timeout_s, 1), True
+
+
+def _extra_fe_flagship(budget_left):
+    """FE-class scattered-pattern flagship (VERDICT r4 #1): shift-invert
+    on the synthetic shipsec-scale box-girder pencil (n~139k, 7.8M nnz,
+    56/row — shipsec1's shape and density, reference README.md:19-25),
+    vs scipy eigsh on the same pencil.  Host-side workload: native
+    multifrontal LDL^T with the salted spectral-ND ordering competition.
+
+    Returns (ours_min_s, eigsh_s, eigsh_is_lower_bound)."""
+    import numpy as np
+    from raleigh_tpu.examples.fe_model import shipsec_like
+    from raleigh_tpu.interfaces.partial_hevp import partial_hevp
+
+    K, M_ = shipsec_like()
+    best = None
+    for run in range(2):
+        t0 = time.time()
+        lmd, x, st = partial_hevp(K, sigma=0, which=6, tol=1e-6, verb=-1)
+        dt = time.time() - t0
+        if st != 0 or lmd is None or len(lmd) < 6:
+            raise RuntimeError('fe flagship status %s' % st)
+        r = K @ x[:, :6] - x[:, :6] * lmd[None, :6]
+        rel = np.abs(r).max() / 0.25        # ||K||_inf ~ 0.25
+        if rel > 1e-5:
+            raise RuntimeError('fe flagship residual %.1e' % rel)
+        best = dt if best is None else min(best, dt)
+        print('fe140k run %d: %.2f s' % (run, dt), file=sys.stderr,
+              flush=True)
+    eigsh_script = (
+        'from raleigh_tpu.examples.fe_model import shipsec_like\n'
+        'from scipy.sparse.linalg import eigsh\n'
+        'K, M = shipsec_like()\n'
+        'w = eigsh(K, k=6, sigma=0, which="LM",'
+        ' return_eigenvectors=False)\n')
+    tmo = max(60.0, min(12.0 * best, budget_left()))
+    eig_t, lower = _eigsh_subprocess(eigsh_script, tmo)
+    return round(best, 3), eig_t, lower
+
+
+def _extra_buckling(budget_left):
+    """FE-class buckling flagship: 3 smallest load factors of the
+    K x = lmd G pencil on the ~74k-dof box girder vs scipy eigsh in
+    buckling mode (reference panel_buckle class, README.md:22-25).
+    Returns (ours_s, eigsh_s, eigsh_is_lower_bound)."""
+    import numpy as np
+    from raleigh_tpu.examples.fe_model import buckling_64k
+    from raleigh_tpu.interfaces.partial_hevp import partial_hevp
+
+    K, G = buckling_64k()
+    # sigma brackets the 3 critical load factors of this pencil (probed
+    # inertia at -0.08: exactly 3 modes in (sigma, 0); the reference
+    # convention computes every pair in the bracket)
+    t0 = time.time()
+    lmd, x, st = partial_hevp(K, B=G, buckling=True, sigma=-0.08,
+                              which=3, tol=1e-5, verb=-1)
+    ours = time.time() - t0
+    if st < 0 or lmd is None or len(lmd) < 3:
+        raise RuntimeError('buckling status %s' % st)
+    print('buckling64k: %.2f s, load factors %s' % (ours, lmd[:3]),
+          file=sys.stderr, flush=True)
+    eigsh_script = (
+        'from raleigh_tpu.examples.fe_model import buckling_64k\n'
+        'from scipy.sparse.linalg import eigsh\n'
+        'K, G = buckling_64k()\n'
+        'w = eigsh(K, k=3, M=G, sigma=-0.08, mode="buckling",'
+        ' which="SA", return_eigenvectors=False)\n')
+    tmo = max(60.0, min(12.0 * ours, budget_left()))
+    eig_t, lower = _eigsh_subprocess(eigsh_script, tmo)
+    return round(ours, 3), eig_t, lower
+
+
+def _extra_bsr_fe():
+    """BSR tile-streaming SpMM on the FE flagship pattern (nodal 3x3
+    blocks, scattered) — the HBM-scale engine for non-DIA structure
+    (STATUS regime map).  Marginal-chain methodology.  Returns
+    (Gnnz/s, physical GB/s of the tile stream)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+    from raleigh_tpu.examples.fe_model import shipsec_like
+    from raleigh_tpu.ops.spmm import BsrMatrix
+
+    from raleigh_tpu.ops.spmm import rows_matmat_operands
+
+    # natural (mesher) node order: the locality a production numbering
+    # gives a tiled layout — random relabeling is an ordering question
+    # (feed BSR through a bandwidth-reducing permutation), not a kernel
+    # property
+    K = shipsec_like(which='k', relabel=False)
+    # 128-tiles: fill 0.045, but far fewer/larger MXU contractions than
+    # 64-tiles — measured 7.0 vs 2.2 Gnnz/s (the tile stream rides the
+    # XLA-pipelined batched matmul at ~640 GB/s)
+    bsr = BsrMatrix(K, bs=128)
+    n = K.shape[0]
+    m = 16
+    # argument-form apply: the ~0.5 GB of tiles flow through the chain
+    # as jit ARGUMENTS (closure capture would bake them into the program
+    # as literals and blow the remote compiler's request size limit)
+    fn, ops = rows_matmat_operands(bsr)
+    x = jax.random.normal(jax.random.PRNGKey(2), (m, n), jnp.float32)
+    scale = np.float32(1.0 / 4.0)
+
+    def make_chain(reps):
+        @jax.jit
+        def chain(xx, oo):
+            return lax.fori_loop(
+                0, reps, lambda i, yy: fn(oo, yy) * scale, xx)
+        return lambda xx: chain(xx, ops)
+
+    dt = _time_chain_marginal(make_chain, x, reps_lo=20, reps_hi=80)
+    gnnz = bsr.nnz / dt / 1e9
+    tile_bytes = bsr.blocks.size * 4
+    gbps = (tile_bytes + 2 * n * m * 4) / dt / 1e9
+    return round(gnnz, 3), round(gbps, 1)
+
+
+def _extra_lobpcg_hbm():
+    """HBM-scale end-to-end: lap3d 100x100x128 (n=1.28e6), 4 smallest to
+    5e-5 with a Chebyshev-preconditioned LOBPCG — the preconditioner now
+    auto-routes to bf16 operand streaming in this regime (VERDICT r4 #3).
+    Warm methodology: run 0 compiles, recorded number is the min of two
+    subsequent runs."""
+    import numpy as np
+    from raleigh_tpu.algebra.sparse import Chebyshev, spectral_bounds
+    from raleigh_tpu.examples.laplace import lap3d, lap3d_eigenvalues
+    from raleigh_tpu.interfaces.partial_hevp import partial_hevp
+
+    a = lap3d(100, 100, 128, 1.0, 1.0, 1.0)
+    exact = np.sort(lap3d_eigenvalues(100, 100, 128, 1.0, 1.0, 1.0))[:4]
+    lo, hi = spectral_bounds(a)
+    ch = Chebyshev(a, lo, hi, degree=12, arch='tpu')
+    best = None
+    for run in range(3):
+        t0 = time.time()
+        lmd, x, st = partial_hevp(a, T=ch, which=4, tol=5e-5, verb=-1,
+                                  arch='tpu')
+        dt = time.time() - t0
+        if st != 0 or lmd is None or len(lmd) < 4:
+            raise RuntimeError('hbm lobpcg status %s' % st)
+        err = np.max(np.abs(np.sort(lmd)[:4] - exact) / exact)
+        if err > 1e-3:
+            raise RuntimeError('hbm lobpcg error %.1e' % err)
+        if run > 0:
+            best = dt if best is None else min(best, dt)
+        print('hbm lobpcg run %d: %.2f s' % (run, dt), file=sys.stderr,
+              flush=True)
+    return round(best, 3)
+
+
+def _extra_link():
+    """Measured host<->device link and the orchestration decision it
+    drives (VERDICT r4 #5) at the flagship problem size."""
+    from raleigh_tpu.utils.link import probe_link, choose_orchestration
+
+    info = probe_link(force=True)
+    out = {'link_rtt_ms': round(info['rtt_s'] * 1e3, 1)}
+    if not info['colocated']:
+        out['link_up_mb_s'] = round(info['up_bytes_per_s'] / 1e6, 1)
+        out['link_down_mb_s'] = round(info['down_bytes_per_s'] / 1e6, 1)
+    out['shift_invert_orchestration'] = choose_orchestration(125000, 32)
+    return out
 
 
 def child_main():
@@ -473,6 +667,19 @@ def child_main():
         result['extra']['lap3d50_device_precond_s'] = 'error: %s' % e
     mark('sparse_evp_done')
     try:
+        if platform != 'cpu':
+            result['extra'].update(_extra_link())
+    except Exception as e:                          # noqa: BLE001
+        result['extra']['link_rtt_ms'] = 'error: %s' % e
+    try:
+        if platform != 'cpu':
+            result['extra']['lobpcg_hbm_n1p28m_s'] = \
+                'skipped: attempt budget' if over_budget(430.0) \
+                else _extra_lobpcg_hbm()
+    except Exception as e:                          # noqa: BLE001
+        result['extra']['lobpcg_hbm_n1p28m_s'] = 'error: %s' % e
+    mark('lobpcg_hbm_done')
+    try:
         gnnz, gbps = _extra_dia_spmm()
         result['extra']['dia_spmm_gnnz_per_s'] = gnnz
         result['extra']['dia_spmm_gb_per_s'] = gbps
@@ -508,12 +715,56 @@ def child_main():
         result['extra']['pca_subspace_tol_s'] = 'error: %s' % e
     mark('pca_tol_done')
     try:
-        result['extra']['pca_jacobi_3000x10k_npc100_s'] = \
-            'skipped: attempt budget' if over_budget() \
-            else _extra_pca_jacobi(a)
+        if over_budget():
+            result['extra']['pca_jacobi_3000x10k_npc100_s'] = \
+                'skipped: attempt budget'
+        else:
+            jac_t, jac_warm = _extra_pca_jacobi(a)
+            result['extra']['pca_jacobi_3000x10k_npc100_s'] = jac_t
+            result['extra']['pca_jacobi_3000x10k_npc100_warm_s'] = jac_warm
     except Exception as e:                          # noqa: BLE001
         result['extra']['pca_jacobi_3000x10k_npc100_s'] = 'error: %s' % e
     mark('pca_jacobi_done')
+    # FE-class scattered-pattern flagships (host-side: native LDL^T with
+    # the spectral-ND ordering competition; VERDICT r4 #1)
+    budget_left = lambda: max(45.0, 840.0 - (time.time() - t_child))
+    try:
+        if over_budget(700.0):
+            result['extra']['fe140k_shift_invert_s'] = \
+                'skipped: attempt budget'
+        else:
+            ours, eig, lower = _extra_fe_flagship(budget_left)
+            result['extra']['fe140k_shift_invert_s'] = ours
+            result['extra']['fe140k_eigsh_s'] = \
+                ('>=%.0f' % eig) if lower else eig
+            result['extra']['fe140k_vs_eigsh'] = round(eig / ours, 1)
+    except Exception as e:                          # noqa: BLE001
+        result['extra']['fe140k_shift_invert_s'] = 'error: %s' % e
+    mark('fe140k_done')
+    try:
+        if over_budget(780.0):
+            result['extra']['buckling64k_s'] = 'skipped: attempt budget'
+        else:
+            ours, eig, lower = _extra_buckling(budget_left)
+            result['extra']['buckling64k_s'] = ours
+            result['extra']['buckling64k_eigsh_s'] = \
+                ('>=%.0f' % eig) if lower else eig
+            result['extra']['buckling64k_vs_eigsh'] = round(eig / ours, 1)
+    except Exception as e:                          # noqa: BLE001
+        result['extra']['buckling64k_s'] = 'error: %s' % e
+    mark('buckling_done')
+    try:
+        if platform != 'cpu':
+            if over_budget(820.0):
+                result['extra']['bsr_fe_gnnz_per_s'] = \
+                    'skipped: attempt budget'
+            else:
+                gnnz, gbps = _extra_bsr_fe()
+                result['extra']['bsr_fe_gnnz_per_s'] = gnnz
+                result['extra']['bsr_fe_gb_per_s'] = gbps
+    except Exception as e:                          # noqa: BLE001
+        result['extra']['bsr_fe_gnnz_per_s'] = 'error: %s' % e
+    mark('bsr_done')
 
     result['extra']['phase_s'] = phases
     print(json.dumps(result), flush=True)
@@ -559,7 +810,7 @@ def parent_main():
     # the CPU fallback must also blank PALLAS_AXON_POOL_IPS: with it set,
     # the sitecustomize hook registers the axon backend and JAX_PLATFORMS
     # =cpu alone does not take effect
-    attempts = [({}, 900), ({}, 900), ({}, 900),
+    attempts = [({}, 1100), ({}, 1100), ({}, 1100),
                 ({'JAX_PLATFORMS': 'cpu', 'PALLAS_AXON_POOL_IPS': ''},
                  3000)]
     backoff = [20, 40, 40, 0]

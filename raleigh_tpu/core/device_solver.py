@@ -234,6 +234,15 @@ def _rows_matmat_ops(op, m, n, dtype, sharded):
     return fn, ()
 
 
+def default_block(k, n):
+    """Default iteration block for ``k`` wanted pairs: k plus slack,
+    rounded up to a multiple of 8 — block rows land on TPU sublane
+    boundaries, and the HBM window kernels require 8-aligned row counts
+    (Mosaic rejects an unaligned HBM row slice outright)."""
+    m = min(n, k + max(8, k // 4))
+    return min(n, -(-m // 8) * 8)
+
+
 def lobpcg(op, k, n=None, opB=None, precond=None, block_size=None,
            tol=1e-4, maxit=500, chunk=16, largest=False, x0=None,
            constraints=None, seed=1, dtype=np.float32, verb=0,
@@ -277,7 +286,7 @@ def lobpcg(op, k, n=None, opB=None, precond=None, block_size=None,
     """
     if n is None:
         n = op.shape[0]
-    m = block_size or min(n, k + max(8, k // 4))
+    m = block_size or default_block(k, n)
     if m < k:
         raise ValueError('block_size < k')
     jdt = np.dtype(dtype)

@@ -97,7 +97,8 @@ def hex8_matrices(h=(1.0, 1.0, 1.0), E=1.0, nu=0.3, rho=1.0):
     return K, M, G24
 
 
-def girder_mesh(nc=40, spacing=6, hole_frac=0.10, seed=7):
+def girder_mesh(nc=40, spacing=6, hole_frac=0.10, seed=7,
+                relabel=True):
     """Element connectivity of the stiffened box girder: an ``nc^3``
     cell grid keeping only cells on the orthogonal wall planes
     (``i % spacing == 0`` etc.), a fraction ``hole_frac`` of wall
@@ -125,7 +126,9 @@ def girder_mesh(nc=40, spacing=6, hole_frac=0.10, seed=7):
     used[conn.ravel()] = True
     n_nodes = int(used.sum())
     new_id = np.full(nx ** 3, -1, dtype=np.int64)
-    new_id[np.flatnonzero(used)] = rng.permutation(n_nodes)
+    order = (rng.permutation(n_nodes) if relabel
+             else np.arange(n_nodes, dtype=np.int64))
+    new_id[np.flatnonzero(used)] = order
     return new_id[conn], n_nodes
 
 
@@ -167,12 +170,13 @@ def assemble(conn, n_nodes, elem, elem_scale=None, bsr=False):
 
 
 def fe_pencil(nc=40, spacing=6, hole_frac=0.10, seed=7, which='km',
-              jitter=0.6, bsr=False):
+              jitter=0.6, bsr=False, relabel=True):
     """Assembled pencil on the box-girder mesh.  ``which``: 'k' stiffness
     only, 'km' (K, M), 'kg' (K, G buckling).  ``jitter`` is the log-range
     of the per-element material scale (0 = uniform).  K is grounded SPD
     (light diagonal shift standing in for Dirichlet constraints)."""
-    conn, n_nodes = girder_mesh(nc, spacing, hole_frac, seed)
+    conn, n_nodes = girder_mesh(nc, spacing, hole_frac, seed,
+                                relabel=relabel)
     rng = np.random.RandomState(seed + 1)
     scale = np.exp(rng.uniform(-jitter, jitter, conn.shape[0]))
     h = (1.0 / nc,) * 3
@@ -192,10 +196,14 @@ def fe_pencil(nc=40, spacing=6, hole_frac=0.10, seed=7, which='km',
     return out[0] if which == 'k' else tuple(out)
 
 
-def shipsec_like(seed=7, which='km', bsr=False):
+def shipsec_like(seed=7, which='km', bsr=False, relabel=True):
     """The FE-class flagship: scattered-pattern elasticity pencil at
-    shipsec1's scale and density (n ~ 140k dof, ~55 nnz/row)."""
-    return fe_pencil(39, 6, 0.10, seed, which=which, bsr=bsr)
+    shipsec1's scale and density (n ~ 140k dof, ~55 nnz/row).
+    ``relabel=False`` keeps the mesher's natural node order (the
+    locality a production numbering would have — what a tiled BSR
+    layout consumes)."""
+    return fe_pencil(39, 6, 0.10, seed, which=which, bsr=bsr,
+                     relabel=relabel)
 
 
 def buckling_64k(seed=11):

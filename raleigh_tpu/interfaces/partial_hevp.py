@@ -240,7 +240,10 @@ def _device_path(A, B, T, which, tol, verb, opt, arch):
     dtype = np.float64 if np.dtype(A.dtype).itemsize >= 8 and \
         _x64_enabled() else np.float32
     n = dev.shape[0]
-    m = block or min(n, which + max(8, which // 4))
+    # must match lobpcg's own default (the preconditioner below is built
+    # for exactly this block shape)
+    from ..core.device_solver import default_block
+    m = block or default_block(which, n)
     precond = None
     if T is not None:
         # argument-form fused recurrence when available: the matrix

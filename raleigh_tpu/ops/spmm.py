@@ -165,7 +165,7 @@ class DiaMatrix:
                 return fn(x).astype(x.dtype)
             return _dia_matmat_rows(self.val, x, self.offsets).astype(
                 x.dtype)
-        if (ws > self.WINDOW_HBM_BYTES and n % 128 == 0
+        if (ws > self.WINDOW_HBM_BYTES and n % 128 == 0 and m % 8 == 0
                 and x.dtype in (jnp.float32, jnp.bfloat16)
                 and self.val.dtype == jnp.float32
                 and -(-n // max(tile, 128)) >= 2):
@@ -211,7 +211,7 @@ class DiaMatrix:
         xbytes = 2 if dtype == jnp.bfloat16 else 4
         ws = 2 * m * n * xbytes + noff * n * 4
         out = None
-        if (ws > self.WINDOW_HBM_BYTES and n % 128 == 0
+        if (ws > self.WINDOW_HBM_BYTES and n % 128 == 0 and m % 8 == 0
                 and dtype in (jnp.float32, jnp.bfloat16)
                 and self.val.dtype == jnp.float32
                 and -(-n // max(tile, 128)) >= 2):
@@ -294,6 +294,7 @@ class DiaMatrix:
         ws = (2 * m + noff) * n_local * 4
         platforms = {d.platform for d in sh.device_set}
         use_window = (ws > self.WINDOW_HBM_BYTES
+                      and m % 8 == 0
                       and dtype == jnp.float32
                       and self.val.dtype == jnp.float32
                       and -(-n_local // max(tile, 128)) >= 2
@@ -360,6 +361,7 @@ class DiaMatrix:
         n = self.shape[0]
         noff = len(self.offsets)
         if ((2 * m + noff) * n * 4 <= self.WINDOW_HBM_BYTES
+                or (m % 8 and not interpret)
                 or self.val.dtype != jnp.float32
                 or self._multi_device()):
             return None
