@@ -121,7 +121,14 @@ int64_t bfs(Ctx& c, int64_t root, int64_t t, std::vector<int64_t>& order) {
     return maxlev;
 }
 
-// order a subgraph with minimum degree on its induced pattern
+// order a subgraph with minimum degree on its induced pattern.  The
+// leaf's coupling to vertices eliminated LATER (its boundary
+// separators) is represented by one aggregated ghost vertex adjacent
+// to every boundary-touching leaf vertex: plain local AMD would
+// eliminate high-external-degree vertices early (their external fill
+// is invisible to it); with the ghost their degree reflects the
+// boundary coupling and they drift toward the end of the leaf order —
+// a one-vertex approximation of constrained minimum degree.
 void order_leaf(Ctx& c, const std::vector<int64_t>& S, int64_t t) {
     const int64_t m = (int64_t)S.size();
     if (m == 0) return;
@@ -130,7 +137,19 @@ void order_leaf(Ctx& c, const std::vector<int64_t>& S, int64_t t) {
         return;
     }
     for (int64_t i = 0; i < m; ++i) c.loc[S[i]] = i;
-    c.lAp.assign(m + 1, 0);
+    std::vector<int8_t> bnd(m, 0);
+    bool any_bnd = false;
+    for (int64_t i = 0; i < m; ++i) {
+        int64_t v = S[i];
+        for (int64_t p = c.xadj[v]; p < c.xadj[v + 1]; ++p)
+            if (c.tag[c.adjv[p]] != t) {
+                bnd[i] = 1;
+                any_bnd = true;
+                break;
+            }
+    }
+    const bool ghost = any_bnd && m > 8;
+    c.lAp.assign(m + 1 + (ghost ? 1 : 0), 0);
     c.lAi.clear();
     for (int64_t i = 0; i < m; ++i) {
         int64_t v = S[i];
@@ -138,12 +157,21 @@ void order_leaf(Ctx& c, const std::vector<int64_t>& S, int64_t t) {
             int64_t w = c.adjv[p];
             if (c.tag[w] == t) c.lAi.push_back(c.loc[w]);
         }
+        if (ghost && bnd[i]) c.lAi.push_back(m);
         c.lAp[i + 1] = (int64_t)c.lAi.size();
     }
-    c.lperm.assign(m, 0);
-    amd_order(m, c.lAp.data(), c.lAi.data(), c.lperm.data());
-    for (int64_t k = 0; k < m; ++k)
-        c.out[c.next_pos++] = S[c.lperm[k]];
+    if (ghost) {
+        for (int64_t i = 0; i < m; ++i)
+            if (bnd[i]) c.lAi.push_back(i);
+        c.lAp[m + 1] = (int64_t)c.lAi.size();
+    }
+    const int64_t mq = m + (ghost ? 1 : 0);
+    c.lperm.assign(mq, 0);
+    amd_order(mq, c.lAp.data(), c.lAi.data(), c.lperm.data());
+    for (int64_t k = 0; k < mq; ++k) {
+        int64_t j = c.lperm[k];
+        if (j < m) c.out[c.next_pos++] = S[j];
+    }
 }
 
 // ---------------------------------------------------------------------
