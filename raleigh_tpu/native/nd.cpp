@@ -74,7 +74,7 @@ static int64_t nd_leaf_size() {
 }
 
 static int64_t nd_coarse_size() {
-    static int64_t v = nd_env("RALEIGH_ND_COARSE", 240);
+    static int64_t v = nd_env("RALEIGH_ND_COARSE", 160);
     return v;
 }
 
