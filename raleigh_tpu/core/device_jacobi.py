@@ -709,6 +709,9 @@ class DeviceJacobi:
                     self.iteration += it2
                 inflight.clear()
                 draining = False
+                # a pre-restart sweep verdict is void: the block is
+                # re-orthonormalized and re-sorted below
+                pending_rcon = 0
                 if verb > 0:
                     print('restarting (block non-orthonormality %.1e)...'
                           % gram_err)

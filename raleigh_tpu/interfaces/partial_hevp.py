@@ -58,7 +58,10 @@ def partial_hevp(A, B=None, T=None, buckling=False, sigma=0, which=6,
             blk = blk if blk and blk > 0 else 32
             n_hint = A.size() if isinstance(A, SparseSymmetricSolver) \
                 else A.shape[0]
-            choice = choose_orchestration(n_hint, blk)
+            try:
+                choice = choose_orchestration(n_hint, blk)
+            except Exception:        # unreachable device: host algebra
+                choice = 'host'
         else:
             choice = forced
         if choice == 'host':

@@ -98,6 +98,10 @@ def build_dia_window_ring(offsets, val, n, m, tile=32768,
     T = -(-max(tile, H) // 128) * 128
     if n % 128:
         raise ValueError('window kernel needs n %% 128 == 0 (got %d)' % n)
+    if m % 8 and not interpret:
+        # Mosaic rejects HBM row slices not aligned to the (8, 128)
+        # tiling; callers fall back to the fused XLA kernel
+        raise ValueError('window kernel needs m %% 8 == 0 (got %d)' % m)
     npad = -(-n // T) * T
     nsteps = npad // T
     if nsteps < 2:
@@ -242,6 +246,10 @@ def build_dia_window_slide(offsets, val, n, m, tile=32768,
     T = -(-max(tile, H) // 128) * 128
     if n % 128:
         raise ValueError('window kernel needs n %% 128 == 0 (got %d)' % n)
+    if m % 8 and not interpret:
+        # Mosaic rejects HBM row slices not aligned to the (8, 128)
+        # tiling; callers fall back to the fused XLA kernel
+        raise ValueError('window kernel needs m %% 8 == 0 (got %d)' % m)
     npad = -(-n // T) * T
     nsteps = npad // T
     if nsteps < 2:
@@ -371,6 +379,10 @@ def build_dia_window_tiles(offsets, val, n, m, tile=32768,
         raise ValueError('tile-ring kernel needs max|offset| <= tile')
     if n % 128:
         raise ValueError('window kernel needs n %% 128 == 0 (got %d)' % n)
+    if m % 8 and not interpret:
+        # Mosaic rejects HBM row slices not aligned to the (8, 128)
+        # tiling; callers fall back to the fused XLA kernel
+        raise ValueError('window kernel needs m %% 8 == 0 (got %d)' % m)
     npad = -(-n // T) * T
     nsteps = npad // T
     if nsteps < 2:
@@ -539,6 +551,10 @@ def build_dia_window_ring_ext(offsets, n, m, tile=32768, interpret=False):
     T = -(-max(tile, H) // 128) * 128
     if n % 128:
         raise ValueError('window kernel needs n %% 128 == 0 (got %d)' % n)
+    if m % 8 and not interpret:
+        # Mosaic rejects HBM row slices not aligned to the (8, 128)
+        # tiling; callers fall back to the fused XLA kernel
+        raise ValueError('window kernel needs m %% 8 == 0 (got %d)' % m)
     npad = -(-n // T) * T
     nsteps = npad // T
     if nsteps < 2:
