@@ -88,3 +88,29 @@ def test_small_girder_solver_pipeline():
                               which=2, tol=1e-6, verb=-1)
     assert st >= 0 and len(lmd) >= 2
     assert np.all(np.asarray(lmd[:2]) > 0)     # compressive load factors
+
+
+def test_buckling_bracket_matches_eigsh_sa():
+    """The bench's buckling comparison (bench.py _extra_buckling) pins
+    ours against eigsh(mode='buckling', which='SA') at the same sigma:
+    in scipy's transformed spectrum nu = lmd/(lmd - sigma), the load
+    factors inside our (sigma, 0) bracket are the most NEGATIVE nu —
+    'SA', not the 'LA' of the reference's below-sigma examples.  Verify
+    the two return the same eigenvalue set on a small girder."""
+    from raleigh_tpu.interfaces.partial_hevp import partial_hevp
+    from raleigh_tpu.algebra.sparse import SparseSymmetricSolver
+    from scipy.sparse.linalg import eigsh
+
+    K, G = fe_pencil(13, 3, 0.1, seed=11, which='kg')
+    sigma = -0.05
+    s = SparseSymmetricSolver()
+    s.analyse(K, sigma, G)
+    s.factorize()
+    neg = s.inertia()[0]
+    assert neg >= 2                       # bracket holds >= 2 modes
+    lmd, x, st = partial_hevp(K, B=G, buckling=True, sigma=sigma,
+                              which=2, tol=1e-6, verb=-1)
+    assert st >= 0
+    w = eigsh(K, k=neg, M=G, sigma=sigma, mode='buckling', which='SA',
+              return_eigenvectors=False)
+    assert np.allclose(np.sort(lmd)[:neg], np.sort(w), rtol=1e-5)
