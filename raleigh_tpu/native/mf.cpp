@@ -28,6 +28,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdlib>
 #include <cmath>
 #include <cstdio>
 #include <complex>
@@ -356,9 +357,23 @@ MfHandle<T>* mf_create(int64_t n, const int64_t* Ap, const int64_t* Ai,
     const std::vector<int64_t>& lnz2 = h->col_lnz;
     // fundamental chains may grow to WCAP (wide separator supernodes are
     // factored with a blocked in-front panel sweep, so width costs no
-    // extra update traffic); relaxed amalgamation stays narrow
+    // extra update traffic); relaxed amalgamation defaults are the
+    // round-5 sweep winners on the FE flagship (128/48/2: 4.9 -> 4.0 s
+    // numeric factorize at identical symbolic fill — wider fronts keep
+    // dgemm on the BLAS3 fast path; env-overridable for experiments)
     const int64_t WCAP = 1024;
-    const int64_t WRELAX = 64;
+    static const int64_t WRELAX = [] {
+        const char* e = std::getenv("RALEIGH_MF_WRELAX");
+        return e ? atoll(e) : 128;
+    }();
+    static const int64_t JUMP0 = [] {
+        const char* e = std::getenv("RALEIGH_MF_JUMP");
+        return e ? atoll(e) : 48;
+    }();
+    static const int64_t JDIV = [] {
+        const char* e = std::getenv("RALEIGH_MF_JDIV");
+        return e ? atoll(e) : 2;
+    }();
     h->snode_of_col.assign(n, -1);
     for (int64_t j = 0; j < n;) {
         int64_t c0 = j;
@@ -369,7 +384,8 @@ MfHandle<T>* mf_create(int64_t n, const int64_t* Ap, const int64_t* Ai,
             // relaxed: tolerate a bounded count jump (explicit zeros)
             int64_t jump = prev - 1 - next;
             bool relaxed = (w < WRELAX)
-                && jump >= 0 && jump <= std::max<int64_t>(24, next / 3);
+                && jump >= 0
+                && jump <= std::max<int64_t>(JUMP0, next / JDIV);
             if (!(fundamental || relaxed)) break;
             ++w;
         }
