@@ -878,7 +878,7 @@ bool multilevel_vsep(const WG& g, std::vector<int8_t>& side,
     // Fiedler-sweep waist cuts at EVERY level
     std::pair<int64_t, int64_t> dir_cost{INT64_MAX, INT64_MAX};
     if (init_vsep_multi(g, side, salt, g.nv <= coarse ? 6 : 1, &fiedler,
-                        g.nv <= coarse ? 5 : 2))
+                        g.nv <= coarse ? 5 : (g.nv >= 30000 ? 4 : 2)))
         dir_cost = cut_cost(g, side);
     if (ml_cost < dir_cost) side = std::move(ml_side);
     if (fout) *fout = std::move(fiedler);
@@ -942,7 +942,7 @@ void dissect(Ctx& c, std::vector<int64_t> S, int64_t t, int depth = 0) {
     // several independent multilevel attempts at the shallow depths,
     // where separator quality dominates total fill; one attempt deeper
     // down, where the subgraphs are small and numerous
-    const int attempts = depth == 0 ? 4 : (depth <= 2 ? 3 : 1);
+    const int attempts = depth == 0 ? 8 : (depth <= 2 ? 4 : 1);
     std::vector<int8_t> side, cand;
     std::pair<int64_t, int64_t> best{INT64_MAX, INT64_MAX};
     for (int at = 0; at < attempts; ++at) {
