@@ -114,3 +114,20 @@ def test_buckling_bracket_matches_eigsh_sa():
     w = eigsh(K, k=neg, M=G, sigma=sigma, mode='buckling', which='SA',
               return_eigenvectors=False)
     assert np.allclose(np.sort(lmd)[:neg], np.sort(w), rtol=1e-5)
+
+
+def test_ordering_quality_regression_pin():
+    """The round-5 ordering rework (spectral thin-waist multilevel ND +
+    salted portfolio) reaches 84.5M exact symbolic factor nnz on the
+    standard FE flagship — 22% below the round-4 engine.  Guard the
+    quality: a regression past 92M means a separator-machinery change
+    broke the basin (the coordinate oracle sits at 81.9M)."""
+    from raleigh_tpu.examples.fe_model import shipsec_like
+    from raleigh_tpu.native import ldlt
+
+    if not ldlt.native_available():
+        pytest.skip('native toolchain unavailable')
+    K, _ = shipsec_like()
+    perm = ldlt.best_ordering(K)
+    fill = ldlt.symbolic_factor_nnz(K, perm)
+    assert fill < 92e6, fill
